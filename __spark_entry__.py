@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the crawl-cycle skeleton (canonicalize →
+hash → seen anti-join → salted per-host top-k) over sf0.001 tables.
+``queries()`` / ``oracle_sql()`` — operator battery from SURVEY.md §2,
+verified against DuckDB at sf0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -13,26 +12,54 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-host politeness top-k with anti-join dedup (J1+W1),
+    the crawl cycle's skeleton (SURVEY.md §7.2), over sf0.001."""
+    from pyspark.sql import functions as F
+
+    from croawl_spark.functions import urls as U
+    from croawl_spark.operators.ranking import salted_topk
+
+    orders = spark.read.parquet(f"{SF0001}/orders.parquet")
+    raw = orders.select(
+        F.concat(
+            F.lit("HTTP://Host"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".Example/a/../order/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
+        F.col("o_orderkey").alias("disc_seq"),
+    )
+    frontier = raw.select(
+        U.canon("url").alias("canon_url"), "depth", "disc_seq"
+    ).withColumn("url_hash", U.url_hash("canon_url")).withColumn(
+        "host", U.host_of("canon_url")
+    )
+    seen = frontier.filter(F.col("disc_seq") % 5 == 0).select("url_hash")
+    candidates = frontier.join(seen, "url_hash", "left_anti")
+    batch = salted_topk(
+        candidates,
+        group_col="host",
+        order_cols=[F.col("depth"), F.col("disc_seq")],
+        k=3,
+        salt_src="url_hash",
+        n_salt=8,
+    )
+    return batch.select("host", "canon_url", "depth", "disc_seq", "host_rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from croawl_spark.plans.verify_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from croawl_spark.plans.verify_queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,793 @@
+"""Operator-verification queries (SURVEY.md §2 driver keys).
+
+Each entry in QUERIES is ``name -> fn(spark, sf_dir) -> DataFrame``; ORACLE
+maps the same name to the DuckDB-equivalent ANSI SQL over the driver's
+pre-registered views. Names absent from ORACLE are rows-only checks
+(pandas-UDF / AMQ / crawl operators that SQL cannot express).
+
+Exactness conventions (so the driver's order-insensitive value-hash matches):
+  * every computed column aliased identically on both sides
+  * SUM over doubles goes through DECIMAL(18,2) then CAST AS DOUBLE —
+    exact arithmetic on both engines, so no float-accumulation-order drift
+  * timestamps rendered as 'yyyy-MM-dd HH:mm:ss' strings
+  * averages written as exact-decimal SUM divided by COUNT (one double div)
+  * ranks/top-k always ordered by a total order (unique tiebreak column)
+  * no transcendentals except sqrt (IEEE-exact in both engines)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.types import LongType
+
+from croawl_spark.functions import urls as U
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c: str) -> F.Column:
+    """Exact money-sum: decimal accumulate, double render."""
+    return F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# 2.1 scans / 2.2 projections & filters
+# --------------------------------------------------------------------------
+
+def q_scan_parquet(spark, sf):
+    return _t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+def q_project_basic(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") * F.lit(2.0)).alias("acct_x2"),
+    )
+
+
+def q_filter_pred(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "N")
+        & F.col("l_discount").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_url_parts(spark, sf):
+    c = _t(spark, sf, "customer")
+    url = F.concat(
+        F.lit("http://host"),
+        (F.col("c_custkey") % 20).cast("string"),
+        F.lit(".example/seg/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?m="),
+        F.col("c_mktsegment"),
+    )
+    d = c.select(F.col("c_custkey"), url.alias("url"))
+    return d.select(
+        "c_custkey",
+        U.host_of("url").alias("host"),
+        U.path_of("url").alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+    )
+
+
+def q_hash_stable(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.agg(
+        F.countDistinct(U.url_hash("c_name")).alias("n_hashes"),
+        F.countDistinct("c_name").alias("n_names"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.3 joins
+# --------------------------------------------------------------------------
+
+def q_join_inner(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+def q_join_left(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_semi(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_join_broadcast(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (_dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"),
+        )
+    )
+
+
+def q_join_theta(spark, sf):
+    s, n = _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    return (
+        s.join(n, s.s_nationkey < n.n_nationkey)  # BroadcastNestedLoopJoin
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_higher"))
+    )
+
+
+def q_join_asof_emul(spark, sf):
+    """As-of join (J6): for each event, latest order of that customer with
+    o_orderdate <= ts; emulated as range-join + window rank (no native
+    as-of in OSS Spark)."""
+    e, o = _t(spark, sf, "events"), _t(spark, sf, "orders")
+    j = e.join(
+        o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        j.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.4 aggregations
+# --------------------------------------------------------------------------
+
+def q_agg_hash(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_agg_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_ord"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+def q_agg_approx(spark, sf):
+    """Rows-only: approx distinct is engine-specific by construction (A3)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_ord"),
+        F.countDistinct("l_orderkey").alias("exact_ord"),
+    )
+
+
+def q_agg_minby(spark, sf):
+    """First-wins min-by under a total order (A4) — the dedup primitive."""
+    li = _t(spark, sf, "lineitem")
+    key = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", key).alias("first_orderkey"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+    )
+
+
+def q_agg_rollup(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    j = n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+@pandas_udf(LongType())
+def _floor_sum_udaf(v: pd.Series) -> int:
+    # grouped-agg pandas UDAF (V4): integer math => engine-exact
+    return int(np.floor(v.to_numpy()).sum())
+
+
+@pandas_udf(LongType())
+def _count_udaf(v: pd.Series) -> int:
+    return int(len(v))
+
+
+def q_udaf_grouped(spark, sf):
+    # pandas UDAFs cannot mix with JVM aggregates in one agg() — both
+    # columns are grouped-agg pandas UDFs.
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        _floor_sum_udaf(F.col("value")).alias("floor_sum_value"),
+        _count_udaf(F.col("value")).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.5 windows
+# --------------------------------------------------------------------------
+
+def q_win_rank(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_win_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+def q_win_frame(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("run_sum"),
+        F.count(F.lit(1)).over(w).alias("run_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.6 sort / top-k    2.7 set ops
+# --------------------------------------------------------------------------
+
+def q_sort_multi(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_returnflag"),
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select(
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .limit(100)
+    )
+
+
+def q_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_set_union(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    return c.unionByName(o).groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_set_except(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    return c.exceptAll(o)
+
+
+def q_set_intersect(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    e = _t(spark, sf, "events").select(F.col("user_id").alias("key"))
+    return c.intersect(e)
+
+
+# --------------------------------------------------------------------------
+# 2.8 scalar function families
+# --------------------------------------------------------------------------
+
+def q_fn_string(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_first"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cat"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q_fn_date(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff("o_orderdate", F.to_date(F.lit("1995-01-01"))).alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("plus30"),
+    )
+
+
+def q_fn_math(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod("l_orderkey", F.lit(7)).alias("pm7"),
+        F.floor("l_quantity").cast("long").alias("fl"),
+        F.ceil("l_quantity").cast("long").alias("ce"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("ab"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("p2"),
+    )
+
+
+def q_fn_array(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(F.array_sort(toks), 1).alias("min_tok"),
+        F.concat_ws("-", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+    )
+
+
+def q_fn_map(spark, sf):
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+def q_fn_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "struct<k:int>").getField("k").alias("k_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.9 streaming (batch-equivalent tumbling window)
+# --------------------------------------------------------------------------
+
+def q_stream_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value")).cast("long").alias("sum_floor"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_floor",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (task brief: dedup/similarity/text)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id").select("keep_id", "dup_cnt")
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.size(toks).alias("n_tokens"),
+        F.floor(F.lit(100.0) * alpha / F.length("text")).cast("long").alias("alpha_pct"),
+    )
+
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("long").alias("bpe_ish"),
+    )
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "in")])
+    n_en = F.size(F.array_intersect(F.split("text", " "), stop))
+    return d.select(
+        "doc_id",
+        n_en.alias("n_en_stop"),
+        F.when(n_en >= 1, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def q_dedup_ngram(spark, sf):
+    """Exact token-set Jaccard on a bounded candidate set (doc_id < 40)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_tok").alias("nb"))
+    out = (
+        inter.join(sa, "doc1").join(sb, "doc2")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", "uni", "jaccard")
+    )
+    return out
+
+
+def q_ann_cosine(spark, sf):
+    """Brute-force cosine top-k (similarity-search baseline), quantized to
+    int space so the oracle is bit-exact: q = floor(1000*x) per dim."""
+    e = _t(spark, sf, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")).alias("q"),
+    )
+    ex = qe.select("vec_id", F.posexplode("q").alias("pos", "v"))
+    norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("norm2"))
+    qv = ex.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qval")
+    )
+    dots = (
+        qv.join(ex.filter(F.col("vec_id") >= 5), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qval") * F.col("v")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2").alias("qn"))
+    nc = norms.select("vec_id", F.col("norm2").alias("cn"))
+    cos = (
+        dots.join(nq, "qid").join(nc, "vec_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "dot", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_parquet": q_scan_parquet,
+    "project_basic": q_project_basic,
+    "filter_pred": q_filter_pred,
+    "url_parts": q_url_parts,
+    "hash_stable": q_hash_stable,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_broadcast": q_join_broadcast,
+    "join_theta": q_join_theta,
+    "join_asof_emul": q_join_asof_emul,
+    "agg_hash": q_agg_hash,
+    "agg_distinct": q_agg_distinct,
+    "agg_approx": q_agg_approx,
+    "agg_minby": q_agg_minby,
+    "agg_rollup": q_agg_rollup,
+    "udaf_grouped": q_udaf_grouped,
+    "win_rank": q_win_rank,
+    "win_lag": q_win_lag,
+    "win_frame": q_win_frame,
+    "sort_multi": q_sort_multi,
+    "topk": q_topk,
+    "set_union": q_set_union,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "fn_string": q_fn_string,
+    "fn_date": q_fn_date,
+    "fn_math": q_fn_math,
+    "fn_array": q_fn_array,
+    "fn_map": q_fn_map,
+    "fn_json": q_fn_json,
+    "stream_window": q_stream_window,
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "dedup_ngram": q_dedup_ngram,
+    "ann_cosine": q_ann_cosine,
+}
+
+
+ORACLE: dict[str, str] = {
+    "scan_parquet": "SELECT r_regionkey, r_name FROM region",
+    "project_basic": (
+        "SELECT c_custkey, c_name AS name, c_acctbal * 2.0 AS acct_x2 FROM customer"
+    ),
+    "filter_pred": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','N') "
+        "AND l_discount IS NOT NULL"
+    ),
+    "url_parts": (
+        "WITH u AS (SELECT c_custkey, 'http://host' || CAST(c_custkey % 20 AS VARCHAR)"
+        " || '.example/seg/' || CAST(c_custkey AS VARCHAR) || '?m=' || c_mktsegment AS url"
+        " FROM customer) "
+        "SELECT c_custkey, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+        "regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u"
+    ),
+    "hash_stable": (
+        "SELECT COUNT(DISTINCT hash(c_name)) AS n_hashes, "
+        "COUNT(DISTINCT c_name) AS n_names FROM customer"
+    ),
+    "join_inner": (
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "join_left": (
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "join_broadcast": (
+        "SELECT n_name, COUNT(*) AS n_cust, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "join_theta": (
+        "SELECT s_suppkey, COUNT(*) AS n_higher FROM supplier "
+        "JOIN nation ON s_nationkey < n_nationkey GROUP BY s_suppkey"
+    ),
+    "join_asof_emul": (
+        "SELECT event_id, o_orderkey AS asof_orderkey FROM ("
+        "SELECT e.event_id, o.o_orderkey, ROW_NUMBER() OVER ("
+        "PARTITION BY e.event_id ORDER BY o.o_orderdate DESC NULLS LAST, "
+        "o.o_orderkey DESC NULLS LAST) AS r "
+        "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey "
+        "AND o.o_orderdate <= e.ts) WHERE r = 1"
+    ),
+    "agg_hash": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "agg_distinct": (
+        "SELECT COUNT(DISTINCT l_orderkey) AS n_ord, "
+        "COUNT(DISTINCT l_partkey) AS n_part, "
+        "COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status FROM lineitem"
+    ),
+    "agg_minby": (
+        "SELECT l_returnflag, first_orderkey, first_ship FROM ("
+        "SELECT l_returnflag, l_orderkey AS first_orderkey, "
+        "strftime(MIN(l_shipdate) OVER (PARTITION BY l_returnflag), '%Y-%m-%d') AS first_ship, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber) AS r FROM lineitem) WHERE r = 1"
+    ),
+    "agg_rollup": (
+        "SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name, n_name) AS gid "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)"
+    ),
+    "udaf_grouped": (
+        "SELECT event_type, CAST(SUM(FLOOR(value)) AS BIGINT) AS floor_sum_value, "
+        "COUNT(*) AS n FROM events GROUP BY event_type"
+    ),
+    "win_rank": (
+        "SELECT c_mktsegment, c_custkey, rn, rk, drk FROM ("
+        "SELECT c_mktsegment, c_custkey, "
+        "ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk "
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey)) WHERE rn <= 3"
+    ),
+    "win_lag": (
+        "SELECT event_id, user_id, "
+        "LAG(value) OVER w AS prev_value, LEAD(event_type) OVER w AS next_type, "
+        "FIRST_VALUE(event_id) OVER w AS first_event FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "win_frame": (
+        "SELECT event_id, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum, "
+        "COUNT(*) OVER w AS run_cnt FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "sort_multi": (
+        "SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship, "
+        "l_orderkey, l_linenumber FROM lineitem "
+        "ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100"
+    ),
+    "topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "set_union": (
+        "SELECT key, COUNT(*) AS n FROM ("
+        "SELECT c_custkey AS key FROM customer "
+        "UNION ALL SELECT o_custkey AS key FROM orders) GROUP BY key"
+    ),
+    "set_except": (
+        "SELECT c_custkey AS key FROM customer "
+        "EXCEPT ALL SELECT DISTINCT o_custkey AS key FROM orders"
+    ),
+    "set_intersect": (
+        "SELECT c_custkey AS key FROM customer "
+        "INTERSECT SELECT user_id AS key FROM events"
+    ),
+    "fn_string": (
+        "SELECT p_partkey, LOWER(p_name) AS lname, "
+        "regexp_extract(p_brand, '(\\d+)', 1) AS brand_num, "
+        "string_split(p_type, ' ')[1] AS type_first, "
+        "substr(p_name, 1, 5) AS sub5, "
+        "p_brand || '|' || p_type AS cat, LENGTH(p_name) AS name_len FROM part"
+    ),
+    "fn_date": (
+        "SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y, "
+        "CAST(MONTH(o_orderdate) AS INT) AS m, CAST(DAY(o_orderdate) AS INT) AS d, "
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+        "CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since, "
+        "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, "
+        "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30 FROM orders"
+    ),
+    "fn_math": (
+        "SELECT l_orderkey, l_linenumber, l_orderkey % 7 AS pm7, "
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS fl, CAST(CEIL(l_quantity) AS BIGINT) AS ce, "
+        "ABS(l_discount - 0.05) AS ab, SQRT(l_quantity) AS sq, "
+        "l_extendedprice * l_extendedprice AS p2 FROM lineitem"
+    ),
+    "fn_array": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents) "
+        "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, toks[1] AS first_tok, "
+        "list_sort(toks)[1] AS min_tok, array_to_string(toks[1:3], '-') AS first3, "
+        "CAST(list_contains(toks, 'spark') AS INT) AS has_spark FROM t"
+    ),
+    "fn_map": (
+        "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k_val, "
+        "1 AS n_keys FROM events"
+    ),
+    "fn_json": (
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_int FROM events"
+    ),
+    "stream_window": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, "
+        "event_type, COUNT(*) AS n, CAST(SUM(FLOOR(value)) AS BIGINT) AS sum_floor "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text"
+    ),
+    "text_quality": (
+        "SELECT doc_id, LENGTH(text) AS len, "
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+        "CAST(FLOOR(100.0 * LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) "
+        "/ LENGTH(text)) AS BIGINT) AS alpha_pct FROM documents"
+    ),
+    "token_count": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+        "AS bpe_ish FROM documents"
+    ),
+    "lang_id": (
+        "SELECT doc_id, CAST(len(list_intersect(string_split(text, ' '), "
+        "['the','a','of','and','in'])) AS INT) AS n_en_stop, "
+        "CASE WHEN len(list_intersect(string_split(text, ' '), "
+        "['the','a','of','and','in'])) >= 1 THEN 'en' ELSE 'unk' END AS pred_lang "
+        "FROM documents"
+    ),
+    "dedup_ngram": (
+        "WITH toks AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok "
+        "FROM documents WHERE doc_id < 40), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc1, doc2, inter, sa.n_tok + sb.n_tok - inter AS uni, "
+        "CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc1 JOIN sizes sb ON sb.doc_id = doc2 "
+        "WHERE CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) >= 0.5"
+    ),
+    "ann_cosine": (
+        "WITH ex AS (SELECT vec_id, i AS pos, "
+        "CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS v "
+        "FROM embeddings, range(64) t(i)), "
+        "norms AS (SELECT vec_id, SUM(v*v) AS norm2 FROM ex GROUP BY vec_id), "
+        "dots AS (SELECT q.vec_id AS qid, c.vec_id, SUM(q.v * c.v) AS dot "
+        "FROM ex q JOIN ex c ON q.pos = c.pos WHERE q.vec_id < 5 AND c.vec_id >= 5 "
+        "GROUP BY 1, 2), "
+        "cos AS (SELECT qid, d.vec_id, dot, "
+        "CAST(dot AS DOUBLE) / (SQRT(nq.norm2) * SQRT(nc.norm2)) AS cosine "
+        "FROM dots d JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = d.vec_id) "
+        "SELECT qid, vec_id, dot, cosine, rk FROM ("
+        "SELECT qid, vec_id, dot, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM cos) WHERE rk <= 5"
+    ),
+}
