@@ -1,0 +1,100 @@
+"""TableIO port — snapshot/append table storage with atomic per-cycle commits.
+
+Production target is Iceberg (``df.writeTo(...).append()``, snapshot
+isolation, partition overwrite); the Iceberg runtime jar is unavailable in
+this sandbox (SURVEY.md §7.4), so the fallback backend emulates exactly the
+semantics the engine uses:
+
+  base/<table>/cycle=<N>/...parquet     one directory per committed cycle
+  base/_manifest.json                   {"tables": {t: [cycles...]}, "last_cycle": N}
+
+Commit protocol: all tables for cycle N are written first; the manifest is
+rewritten LAST via write-tmp + os.replace (atomic on POSIX). A crash between
+data write and manifest commit leaves orphan directories that are ignored on
+read and harmlessly overwritten on replay — idempotent resume, which is the
+Iceberg property the crawl loop actually relies on (BASELINE.json:
+"resumable from checkpoint with per-partition lineage").
+
+Snapshot tables (frontier/seen/host_state/seen_filter) read ONLY their
+latest committed cycle; log tables (fetch_log/documents/metadata/metrics)
+read the union of all committed cycles — partition pruning by ``cycle``
+comes free from the directory layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAPSHOT_TABLES = ("frontier", "seen", "host_state", "seen_filter")
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base, "_manifest.json")
+
+    def read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"tables": {}, "last_cycle": -1}
+
+    def commit_cycle(self, cycle: int, tables: list[str]) -> None:
+        m = self.read_manifest()
+        for t in tables:
+            cs = m["tables"].setdefault(t, [])
+            if cycle not in cs:
+                cs.append(cycle)
+        m["last_cycle"] = max(m["last_cycle"], cycle)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    def last_committed_cycle(self) -> int:
+        return self.read_manifest()["last_cycle"]
+
+    # -- data --------------------------------------------------------------
+    def _dir(self, table: str, cycle: int) -> str:
+        return os.path.join(self.base, table, f"cycle={cycle}")
+
+    def write_snapshot(self, df: DataFrame, table: str, cycle: int) -> None:
+        """Uncommitted write; becomes visible only after commit_cycle."""
+        path = self._dir(table, cycle)
+        if os.path.exists(path):  # replay after crash: idempotent overwrite
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+
+    def read_snapshot(self, table: str, cycle: int | None = None) -> DataFrame:
+        m = self.read_manifest()
+        cycles = m["tables"].get(table, [])
+        if cycle is not None:
+            cycles = [c for c in cycles if c <= cycle]
+        if not cycles:
+            raise FileNotFoundError(f"no committed snapshot for {table}")
+        return self.spark.read.parquet(self._dir(table, max(cycles)))
+
+    def read_log(self, table: str, upto_cycle: int | None = None) -> DataFrame:
+        m = self.read_manifest()
+        cycles = sorted(m["tables"].get(table, []))
+        if upto_cycle is not None:
+            cycles = [c for c in cycles if c <= upto_cycle]
+        if not cycles:
+            raise FileNotFoundError(f"no committed data for {table}")
+        df = self.spark.read.parquet(*[self._dir(table, c) for c in cycles])
+        return df
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.base, ignore_errors=True)

@@ -1,0 +1,111 @@
+"""Crawl-order + URL-seen equality vs the single-process oracle — the
+driver's binding correctness rule (BASELINE.json north_rule)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from croawl_spark import synth
+from croawl_spark.plans.cycle import CrawlConfig, run_crawl, run_cycle
+from croawl_spark.sources.tableio import TableIO
+from tests.oracle_sim import simulate
+
+N_SEEDS = 100
+N_CYCLES = 4
+CFG = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12)
+
+
+def _spark_log_rows(io: TableIO):
+    log = io.read_log("fetch_log")
+    rows = (
+        log.orderBy("fetch_seq")
+        .select("cycle", "fetch_seq", "canon_url", "host", "status",
+                "content_kind", "bytes")
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    seeds = synth.gen_seeds(N_SEEDS)
+    with tempfile.TemporaryDirectory() as d:
+        io = run_crawl(spark, seeds, N_CYCLES, f"{d}/warehouse", CFG)
+        oracle_log, oracle_seen, _ = simulate(seeds, N_CYCLES, CFG.k_per_host)
+        yield io, oracle_log, oracle_seen
+
+
+def test_fetch_order_exact(crawl):
+    io, oracle_log, _ = crawl
+    got = _spark_log_rows(io)
+    want = [
+        (c, s, url, host, st, kind, b) for (c, s, url, host, st, kind, b) in oracle_log
+    ]
+    assert len(got) == len(want), f"{len(got)} vs {len(want)} fetches"
+    for g, w in zip(got, want):
+        assert g == w, f"first divergence: spark={g} oracle={w}"
+
+
+def test_seen_membership_exact(crawl):
+    io, _, oracle_seen = crawl
+    seen = io.read_snapshot("seen")
+    got = {r["canon_url"]: r["disc_seq"] for r in seen.collect()}
+    assert got == oracle_seen
+
+
+def test_seen_has_no_hash_dupes(crawl):
+    io, _, _ = crawl
+    seen = io.read_snapshot("seen")
+    n = seen.count()
+    assert seen.select("canon_url").distinct().count() == n
+    assert seen.select("disc_seq").distinct().count() == n
+
+
+def test_frontier_disjoint_from_fetched(crawl):
+    """invariant: no queued URL was ever fetched (U3-style audit)."""
+    io, _, _ = crawl
+    f = io.read_snapshot("frontier")
+    log = io.read_log("fetch_log")
+    assert f.join(log, "canon_url", "left_semi").count() == 0
+
+
+def test_shuffle_partition_invariance(spark):
+    """Same seeds, radically different shuffle parallelism => identical log."""
+    seeds = synth.gen_seeds(60)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    logs = []
+    try:
+        for np_ in ("2", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", np_)
+            with tempfile.TemporaryDirectory() as d:
+                io = run_crawl(spark, seeds, 3, f"{d}/w", CFG)
+                logs.append(_spark_log_rows(io))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert logs[0] == logs[1]
+
+
+def test_resume_equals_uninterrupted(spark):
+    """Kill after cycle 1, resume, compare vs straight-through run."""
+    seeds = synth.gen_seeds(60)
+    with tempfile.TemporaryDirectory() as d:
+        io_full = run_crawl(spark, seeds, 3, f"{d}/full", CFG)
+        full = _spark_log_rows(io_full)
+        io_part = run_crawl(spark, seeds, 2, f"{d}/part", CFG)
+        # resume picks up after the last committed cycle
+        io_res = run_crawl(spark, seeds, 3, f"{d}/part", CFG, resume=True)
+        assert _spark_log_rows(io_res) == full
+
+
+def test_bloom_filter_off_same_result(spark):
+    """The AMQ prefilter is a pure optimization: on/off must not change
+    the crawl (FP erased by exact anti-join; FN impossible)."""
+    seeds = synth.gen_seeds(60)
+    cfg_off = CrawlConfig(k_per_host=2, n_salt=4, use_filter=False)
+    with tempfile.TemporaryDirectory() as d:
+        a = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/a", CFG))
+        b = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/b", cfg_off))
+    assert a == b
