@@ -530,6 +530,153 @@ def q_ann_cosine(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# crawl + training-data operators (pandas-UDF paths; mostly rows-only)
+# --------------------------------------------------------------------------
+
+def _synth_spans_docs(spark, sf):
+    """documents -> documents_interleaved with an embedded DC.title tag whose
+    value is the first 3 tokens (so a SQL oracle can independently derive it)."""
+    d = _t(spark, sf, "documents")
+    first3 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+    nulls = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit('<meta name="DC.title" content="'), first3, F.lit('">')).alias("text"),
+            nulls.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            nulls.alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            nulls.alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+    )
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def q_span_extract(spark, sf):
+    """V3 DC extraction over interleaved spans — oracle derives the same
+    title straight from the flat text."""
+    from croawl_spark.plans.extract import extract_metadata
+
+    docs = _synth_spans_docs(spark, sf)
+    return extract_metadata(docs).select("doc_id", "dc_title")
+
+
+def q_span_fingerprint(spark, sf):
+    from croawl_spark.plans.extract import with_fingerprint
+
+    docs = _synth_spans_docs(spark, sf)
+    return with_fingerprint(docs).select("doc_id", "span_fp")
+
+
+def q_url_canonicalize(spark, sf):
+    from croawl_spark.functions import urls as U
+
+    c = _t(spark, sf, "customer")
+    messy = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("c_custkey") % 20).cast("string"),
+        F.lit(".Example:80/a/./b/../p/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("#f"),
+    )
+    return c.select("c_custkey", U.canon(messy).alias("canon_url"))
+
+
+def q_crawl_rank_batch(spark, sf):
+    """W1 salted two-phase politeness ranking over an orders-derived frontier."""
+    from croawl_spark.functions import urls as U
+    from croawl_spark.operators.ranking import salted_topk
+
+    o = _t(spark, sf, "orders")
+    fr = o.select(
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".test/o/"), F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        (F.col("o_orderkey") % 4).cast("int").alias("depth"),
+        F.col("o_orderkey").alias("disc_seq"),
+    ).withColumn("url_hash", U.url_hash("canon_url")).withColumn(
+        "host", U.host_of("canon_url")
+    )
+    return salted_topk(
+        fr, "host", [F.col("depth"), F.col("disc_seq")], k=3, n_salt=8
+    ).select("host", "canon_url", "depth", "disc_seq", "host_rank")
+
+
+def q_bloom_roundtrip(spark, sf):
+    """A6 build+probe: inserted keys are all maybe_seen (no false negatives);
+    outputs the deterministic maybe/fresh counts over a disjoint probe set."""
+    from croawl_spark.functions import urls as U
+    from croawl_spark.operators.seenfilter import build_filter, probe_filter
+
+    c = _t(spark, sf, "customer")
+    seen = c.filter(F.col("c_custkey") % 2 == 0).select(
+        U.url_hash(F.col("c_custkey").cast("string")).alias("url_hash")
+    )
+    cand = c.select(
+        U.url_hash(F.col("c_custkey").cast("string")).alias("url_hash"),
+        (F.col("c_custkey") % 2 == 0).alias("inserted"),
+    )
+    filt = build_filter(seen, n_buckets=8, m_bits=1 << 13)
+    probed = probe_filter(cand, filt, n_buckets=8, m_bits=1 << 13)
+    return probed.agg(
+        F.sum(F.when(F.col("inserted") & F.col("maybe_seen"), 1).otherwise(0)).alias("true_pos"),
+        F.sum(F.when(F.col("inserted") & ~F.col("maybe_seen"), 1).otherwise(0)).alias("false_neg"),
+        F.sum(F.when(~F.col("inserted") & F.col("maybe_seen"), 1).otherwise(0)).alias("false_pos"),
+        F.sum(F.when(~F.col("inserted") & ~F.col("maybe_seen"), 1).otherwise(0)).alias("true_neg"),
+    )
+
+
+def q_dedup_minhash(spark, sf):
+    from croawl_spark.operators.minhash import minhash_dedup_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf):
+    from croawl_spark.functions.text import simhash_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def q_doc_fingerprint(spark, sf):
+    from croawl_spark.functions.text import fingerprint_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def q_ann_lsh(spark, sf):
+    from croawl_spark.operators.ann import ann_lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(e.filter(F.col("vec_id") >= 5), qs, k=5)
+
+
+def q_multimodal_features(spark, sf):
+    from croawl_spark.operators.multimodal import decode_features, synth_media_table
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    media = synth_media_table(d)
+    return decode_features(media).select(
+        "media_ref", "media_kind", "width", "height", "n_bytes"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -573,6 +720,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "dedup_ngram": q_dedup_ngram,
     "ann_cosine": q_ann_cosine,
+    "span_extract": q_span_extract,
+    "span_fingerprint": q_span_fingerprint,
+    "url_canonicalize": q_url_canonicalize,
+    "crawl_rank_batch": q_crawl_rank_batch,
+    "bloom_roundtrip": q_bloom_roundtrip,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -789,5 +946,9 @@ ORACLE: dict[str, str] = {
         "SELECT qid, vec_id, dot, cosine, rk FROM ("
         "SELECT qid, vec_id, dot, cosine, ROW_NUMBER() OVER ("
         "PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM cos) WHERE rk <= 5"
+    ),
+    "span_extract": (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "array_to_string(string_split(text, ' ')[1:3], ' ') AS dc_title FROM documents"
     ),
 }
