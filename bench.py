@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract + BASELINE.md M7).
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl-throughput
+benchmark (URLs scheduled+parsed/sec — the primary BASELINE.json metric),
+and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl": {"urls_scheduled": N, "urls_parsed": N, "wall_sec": s,
+             "urls_scheduled_parsed_per_sec": rate}}
+
+Scaling-efficiency runs (local[8] vs local[32]) are produced by
+``python bench.py --scaling`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from croawl_spark.plans.verify_queries import QUERIES
+
+    headline = [
+        "agg_hash",          # TPC-H Q1 shape: scan + hash agg
+        "join_inner",        # shuffle join + agg
+        "join_asof_emul",    # range join + window
+        "win_rank",          # partitioned window
+        "topk",              # global top-k
+        "dedup_exact",       # groupBy on wide string key
+        "dedup_minhash",     # shingle->minhash->LSH pipeline
+        "ann_cosine",        # explode + join + window re-rank
+        "span_extract",      # Arrow pandas-UDF extraction path
+        "stream_window",     # tumbling window agg
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return times
+
+
+def _seed_df(spark, n: int):
+    """Distributed deterministic seed generation (no driver-side list)."""
+    import pandas as pd
+
+    from croawl_spark import synth
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "url": [synth.target_url(f"bench{i // 3}", int(i) % 3) for i in ids],
+                    "seed_seq": ids,
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, "url string, seed_seq long")
+
+
+def _bench_crawl(spark, n_seeds: int | None = None, n_cycles: int = 3) -> dict:
+    from croawl_spark.plans.cycle import CrawlConfig, bootstrap, run_cycle
+    from croawl_spark.sources.tableio import TableIO
+
+    n_seeds = n_seeds or int(os.environ.get("CROAWL_BENCH_SEEDS", "300000"))
+    cfg = CrawlConfig(k_per_host=4000, n_salt=32, n_buckets=64, m_bits=1 << 18)
+    with tempfile.TemporaryDirectory() as d:
+        io = TableIO(spark, f"{d}/warehouse")
+        bootstrap(spark, _seed_df(spark, n_seeds), io, cfg)
+        t0 = time.perf_counter()
+        scheduled = parsed = 0
+        for t in range(n_cycles):
+            m = run_cycle(spark, io, t, cfg)
+            scheduled += m["scheduled"]
+            parsed += m["parsed"]
+        wall = time.perf_counter() - t0
+    return {
+        "urls_scheduled": scheduled,
+        "urls_parsed": parsed,
+        "wall_sec": round(wall, 3),
+        "urls_scheduled_parsed_per_sec": round((scheduled + parsed) / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    scaling_mode = "--scaling" in sys.argv
+    # enlarge the synthetic web for throughput runs (env propagates to the
+    # python workers); correctness tests keep the pinned 50x2000 universe
+    os.environ.setdefault("CROAWL_SYNTH_HOSTS", "400")
+    os.environ.setdefault("CROAWL_SYNTH_PATHS", "20000")
+
+    from croawl_spark.session import get_spark
+
+    if scaling_mode:
+        # Evidence for the N -> 4N executors rule (sandbox proxy): the same
+        # job at local[4] and local[16] on identical input, realistic
+        # tag-dense pages (CROAWL_SYNTH_META_TAGS) so per-URL parse cost is
+        # representative. Each leg runs in a FRESH process (clean JVM/heap).
+        # See BENCH/BASELINE.md for the full parallelism curve and the
+        # single-box caveats (shared memory bandwidth + SMT beyond 8 procs).
+        import subprocess
+
+        out = {}
+        for n in (4, 16):
+            r = subprocess.run(
+                [sys.executable, __file__, "--crawl-only"],
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_CPUS": str(n),
+                    "CROAWL_SYNTH_META_TAGS": os.environ.get(
+                        "CROAWL_SYNTH_META_TAGS", "120"
+                    ),
+                },
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            out[f"local{n}"] = json.loads(line)
+        r4 = out["local4"]["urls_scheduled_parsed_per_sec"]
+        r16 = out["local16"]["urls_scheduled_parsed_per_sec"]
+        out["scaling_efficiency_4_to_16"] = round((r16 / r4) / 4.0, 3)
+        print(json.dumps(out))
+        return
+
+    if "--crawl-only" in sys.argv:
+        spark = get_spark(f"bench-crawl-{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * int(cpus))
+        print(json.dumps(_bench_crawl(spark)))
+        spark.stop()
+        return
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * int(cpus))
+    t0 = time.perf_counter()
+    queries = _bench_queries(spark, sf_dir)
+    crawl = _bench_crawl(spark)
+    total = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

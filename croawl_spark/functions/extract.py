@@ -45,7 +45,14 @@ def doc_text(spans: list[dict]) -> str:
 
 def extract_all(spans: list[dict]) -> dict:
     """-> {dc_title, dc_creator: list, dc_identifier, oai_endpoint, outlinks: list}"""
-    html = doc_text(spans)
+    return extract_from_html(doc_text(spans))
+
+
+def extract_from_html(html: str) -> dict:
+    """Same extraction over an already-assembled HTML string. The Spark hot
+    path assembles the string JVM-side (array_join over offset-sorted text
+    spans) so the Arrow crossing carries one flat string column instead of
+    nested structs — much cheaper at 100 TB."""
     title = identifier = oai = None
     creators: list[str] = []
     outlinks: list[str] = []

@@ -58,13 +58,43 @@ def salted_topk(
 
 
 def global_sequence(
-    df: DataFrame, order_cols: list[Column | str], seq_name: str, start: int = 0
+    df: DataFrame,
+    order_cols: list[str],
+    seq_name: str,
+    start: int = 0,
+    n_parts: int | None = None,
 ) -> DataFrame:
-    """Cluster-size-invariant global sequence: rank over a total order.
+    """Cluster-size-invariant global sequence: dense rank over a total order,
+    computed WITHOUT a single-partition window.
 
-    NEVER ``monotonically_increasing_id`` (partition-dependent) — this is a
-    single-partition window, acceptable only on per-cycle *batch* outputs
-    (bounded by cycles * budget), never on the full frontier.
+    Two-phase: range-partition on the order columns (parallel sort), count
+    rows per range partition (tiny collect), then rank within each partition
+    plus the cumulative offset of earlier partitions. The result depends only
+    on the data (order_cols must be a total order) — range boundaries chosen
+    by sampling affect task placement, never the output. NEVER
+    ``monotonically_increasing_id`` (partition-dependent values).
     """
-    w = Window.orderBy(*order_cols)
-    return df.withColumn(seq_name, F.row_number().over(w) + F.lit(start - 1))
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    parted = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        parted.join(off_df, "_pid")
+        .withColumn(seq_name, (F.row_number().over(w) + F.col("_off") - 1).cast("long"))
+        .drop("_pid", "_off")
+    )

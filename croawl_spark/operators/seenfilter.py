@@ -106,28 +106,38 @@ def build_filter(
 def probe_filter(
     candidates: DataFrame, filt: DataFrame, n_buckets: int = 64, m_bits: int = 1 << 15
 ) -> DataFrame:
-    """Append boolean ``maybe_seen`` to candidates (no false negatives)."""
+    """Append boolean ``maybe_seen`` to candidates (no false negatives).
+
+    cogroup, NOT a join: joining the bit blob onto candidates would ship
+    one m_bits/8-byte copy PER ROW through the shuffle (ruinous — 32 KiB x
+    millions of rows); cogrouping ships each bucket's blob exactly once and
+    co-partitions with the candidates on the same pmod key the downstream
+    anti-join uses.
+    """
     mb = m_bits
     cand = candidates.withColumn(
         "bucket", F.pmod("url_hash", F.lit(n_buckets)).cast("int")
     )
-    joined = cand.join(filt.select("bucket", "bits"), "bucket", "left")
     out_schema = (
         candidates.withColumn("maybe_seen", F.lit(True)).schema
     )
+    out_cols = [f.name for f in out_schema.fields]
 
-    def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pdf.drop(columns=["bucket", "bits"]).assign(maybe_seen=pd.Series([], dtype=bool))
-        blob = pdf["bits"].iloc[0]
-        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        if blob is None:
-            maybe = np.zeros(len(pdf), dtype=bool)  # no filter row: nothing seen
+    def _probe(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(filt_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)  # bucket never built
         else:
-            bits = np.frombuffer(blob, dtype=np.uint8)
+            bits = np.frombuffer(filt_pdf["bits"].iloc[0], dtype=np.uint8)
             maybe = _test_bits(bits, _positions(hashes, mb))
-        out = pdf.drop(columns=["bucket", "bits"]).copy()
+        out = cand_pdf.drop(columns=["bucket"]).copy()
         out["maybe_seen"] = maybe
         return out
 
-    return joined.groupBy("bucket").applyInPandas(_probe, out_schema)
+    return (
+        cand.groupBy("bucket")
+        .cogroup(filt.select("bucket", "bits").groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+    )

@@ -7,15 +7,17 @@ seen-set are the driver's correctness gate):
   bootstrap (cycle 0)
     seeds: line i of the seed list has disc_seq=i BEFORE canonicalization;
     first-wins dedup per canon_url keeps the smallest disc_seq; surviving
-    rows are renumbered disc_seq = rank over (original disc_seq) so the
-    frontier starts with disc_seq = 0..n-1, depth = 0.
+    rows are renumbered disc_seq = rank over (original disc_seq), depth = 0.
+    ALL deduped seeds enter `seen`; only robots-ALLOWED rows enter the
+    frontier (longest-prefix match, allow wins ties, default allow; robots
+    for a host are known when the host first appears — deterministic
+    synthetic web => robots fetch is a pure function of host). Denied URLs
+    are recorded in seen so they are never re-processed, and are never
+    fetched. Insert-time filtering costs O(new URLs); a per-cycle frontier
+    rescan would cost O(frontier) — with static robots both give the same
+    fetch log.
 
   each cycle t:
-    1. robots gate: every queued URL whose path is disallowed by its host's
-       rules (longest-prefix match, allow wins ties, default allow) is
-       REMOVED from the frontier this cycle. Robots for a host are known
-       when the host first enters the frontier (deterministic synthetic web
-       => robots fetch is a pure function of host).
     2. due-time gate: host eligible iff last_fetch_cycle is null or
        t >= last_fetch_cycle + ceil(crawl_delay)   [delay unit = cycles]
     3. batch: per eligible host, top-k queued by (depth, disc_seq) —
@@ -28,9 +30,9 @@ seen-set are the driver's correctness gate):
     6. frontier update: outlinks -> canonicalize -> first-wins per canon_url
        by (parent fetch_seq, link position) -> Bloom prefilter -> exact
        anti-join against seen on (url_hash, canon_url) -> assign
-       disc_seq = max(seen.disc_seq) + rank over (parent_fetch_seq,
+       disc_seq = next_disc_seq counter + rank over (parent_fetch_seq,
        link_pos); depth = parent_depth + 1. Batch rows leave the frontier;
-       new rows enter with state 'queued'.
+       ALL new URLs enter seen; robots-allowed new rows enter the frontier.
     7. checkpoint: snapshots (frontier, seen, host_state, seen_filter) +
        logs (fetch_log, documents, metadata, metrics) written, then the
        cycle manifest commits atomically (TableIO).
@@ -47,7 +49,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -61,9 +63,9 @@ from pyspark.sql.types import (
 from croawl_spark import synth, tables
 from croawl_spark.functions import robots as R
 from croawl_spark.functions import urls as U
-from croawl_spark.functions.extract import extract_all
+from croawl_spark.functions.extract import extract_from_html
 from croawl_spark.operators.dedup import first_wins
-from croawl_spark.operators.ranking import salted_topk
+from croawl_spark.operators.ranking import global_sequence, salted_topk
 from croawl_spark.operators.seenfilter import build_filter, probe_filter
 from croawl_spark.sources.tableio import TableIO
 
@@ -134,30 +136,41 @@ _PARSE_OUT = StructType(
 )
 
 
+def html_expr(spans_col: str = "spans") -> F.Column:
+    """Assemble the document HTML JVM-side: offset-sort the spans, keep text
+    spans, join. Keeps the Arrow crossing to one flat string column instead
+    of nested array<struct> — the parse stage's throughput hinge."""
+    return F.expr(
+        f"array_join(transform(filter(array_sort({spans_col}, (a, b) -> "
+        "CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 "
+        "ELSE 0 END), s -> s.kind = 'text' AND s.text IS NOT NULL), "
+        "s -> s.text), '')"
+    )
+
+
 def _parse_stage(fetched: DataFrame) -> DataFrame:
-    """V3 DC/OAI + outlink extraction over interleaved spans (mapInPandas)."""
+    """V3 DC/OAI + outlink extraction (mapInPandas over JVM-assembled HTML)."""
+    slim = fetched.filter(F.col("status") == 200).select(
+        "canon_url",
+        "url_hash",
+        "depth",
+        "fetch_seq",
+        html_expr().alias("html"),
+        F.size("spans").cast("int").alias("n_spans"),
+    )
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                raw = r.spans if r.spans is not None else []
-                spans = [
-                    {"kind": s["kind"], "text": s["text"],
-                     "media_ref": s["media_ref"], "offset": s["offset"]}
-                    for s in raw
-                ]
-                ex = extract_all(spans)
-                rows.append(
-                    (
-                        r.canon_url, r.url_hash, r.depth, r.fetch_seq,
-                        ex["dc_title"], ex["dc_creator"], ex["dc_identifier"],
-                        ex["oai_endpoint"], ex["outlinks"], len(spans),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _PARSE_OUT.fields])
+            exs = [extract_from_html(h) for h in pdf["html"]]
+            out = pdf[["canon_url", "url_hash", "depth", "fetch_seq", "n_spans"]].copy()
+            out["dc_title"] = [e["dc_title"] for e in exs]
+            out["dc_creator"] = [e["dc_creator"] for e in exs]
+            out["dc_identifier"] = [e["dc_identifier"] for e in exs]
+            out["oai_endpoint"] = [e["oai_endpoint"] for e in exs]
+            out["outlinks"] = [e["outlinks"] for e in exs]
+            yield out[[f.name for f in _PARSE_OUT.fields]]
 
-    return fetched.filter(F.col("status") == 200).mapInPandas(parse, _PARSE_OUT)
+    return slim.mapInPandas(parse, _PARSE_OUT)
 
 
 _HOST_ROBOTS_OUT = tables.HOST_STATE
@@ -203,19 +216,23 @@ def _robots_allowed_col() -> F.Column:
 
 
 def bootstrap(
-    spark: SparkSession, seeds: list[str], io: TableIO, cfg: CrawlConfig
+    spark: SparkSession, seeds: "list[str] | DataFrame", io: TableIO, cfg: CrawlConfig
 ) -> None:
-    raw = spark.createDataFrame(
-        [(u, i) for i, u in enumerate(seeds)], "url string, seed_seq long"
-    )
+    """seeds: a list of URLs (line order = seed_seq) or a DataFrame with
+    (url string, seed_seq long) for distributed seed generation."""
+    if isinstance(seeds, DataFrame):
+        raw = seeds
+    else:
+        raw = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_seq long"
+        ).repartition(max(spark.sparkContext.defaultParallelism, 8))
     canon = (
         raw.withColumn("canon_url", U.canon("url"))
         .filter(F.col("canon_url").isNotNull())
     )
     ded = first_wins(canon, "canon_url", ["seed_seq"])
-    w = Window.orderBy("seed_seq")
     frontier = (
-        ded.withColumn("disc_seq", F.row_number().over(w).cast("long") - 1)
+        global_sequence(ded, ["seed_seq"], "disc_seq", start=0)
         .select(
             "url",
             "canon_url",
@@ -228,33 +245,74 @@ def bootstrap(
             F.lit(0).cast("int").alias("added_cycle"),
         )
     )
+    # materialize once: frontier feeds 3-4 sinks below; without this the
+    # canonicalization UDF + dedup window re-execute per sink
+    frontier = frontier.persist()
+    n_seeds = frontier.count()
+    # seen records EVERY discovered canonical URL (robots-denied included —
+    # they must never be re-processed); the frontier holds only allowed rows
     seen = frontier.select("url_hash", "canon_url", "disc_seq")
-    host_state = _robots_stage(frontier.select("host").distinct())
-    io.write_snapshot(frontier, "frontier", -1)
-    io.write_snapshot(seen, "seen", -1)
+    host_state = _robots_stage(frontier.select("host").distinct()).persist()
+    frontier_allowed = _filter_allowed(frontier, host_state)
+    io.write_snapshot(frontier_allowed, "frontier", -1)
+    io.write_snapshot(seen, "seen", -1)  # first segment of the append-only seen log
     io.write_snapshot(host_state, "host_state", -1)
     if cfg.use_filter:
         filt = build_filter(seen, cfg.n_buckets, cfg.m_bits)
         io.write_snapshot(filt, "seen_filter", -1)
-    io.commit_cycle(-1, ["frontier", "seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []))
+    io.commit_cycle(
+        -1,
+        ["frontier", "seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []),
+        counters={"total_fetches": 0, "next_disc_seq": int(n_seeds)},
+    )
+    frontier.unpersist()
+    host_state.unpersist()
+
+
+def _filter_allowed(rows: DataFrame, host_state: DataFrame) -> DataFrame:
+    """Robots gate at INSERT time (F6): a URL enters the frontier only if
+    its host's rules allow its path. O(new URLs) instead of re-scanning the
+    whole frontier every cycle; with static robots the fetch order is
+    identical (denied rows could never be scheduled anyway). Production
+    note: with robots TTLs, re-validate at schedule time for expired hosts.
+    """
+    allowed_udf = _robots_allowed_col()
+    cols = [f.name for f in tables.FRONTIER.fields]
+    return (
+        rows.join(F.broadcast(host_state.select("host", "robots_rules")), "host", "left")
+        .withColumn("path", U.path_of("canon_url"))
+        .filter(allowed_udf(F.col("robots_rules"), F.col("path")))
+        .select(*cols)
+    )
 
 
 def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) -> dict:
     """One scheduler cycle; returns counters for metrics/bench."""
+    import os as _os
+    import time as _time
+
+    _prof = _os.environ.get("CROAWL_PROFILE") == "1"
+    _t0 = [_time.perf_counter()]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            now = _time.perf_counter()
+            print(f"  [cycle {cycle}] {label}: {now - _t0[0]:.1f}s", flush=True)
+            _t0[0] = now
+
     frontier = io.read_snapshot("frontier", cycle - 1)
-    seen = io.read_snapshot("seen", cycle - 1)
+    # seen is an APPEND-ONLY log (bootstrap segment + one delta per cycle):
+    # at 10^10 URLs a full rewrite per cycle would be O(corpus); appends are
+    # O(delta) — the Iceberg-append pattern (TableIO emulates it)
+    seen = io.read_log("seen", cycle - 1)
     host_state = io.read_snapshot("host_state", cycle - 1)
     filt = io.read_snapshot("seen_filter", cycle - 1) if cfg.use_filter else None
 
-    # 1+2. robots + due-time gates (J2 broadcast join: hosts << frontier)
-    hs = F.broadcast(host_state)
-    cand = frontier.join(hs, "host", "left")
-    allowed_udf = _robots_allowed_col()
-    cand = cand.withColumn("path", U.path_of("canon_url")).withColumn(
-        "allowed", allowed_udf(F.col("robots_rules"), F.col("path"))
-    )
-    kept = cand.filter(F.col("allowed"))  # denied rows leave the frontier
-    eligible = kept.filter(
+    # due-time gate (J2 broadcast join: hosts << frontier). Robots were
+    # enforced at insert time — the frontier contains only allowed rows.
+    hs = F.broadcast(host_state.select("host", "crawl_delay", "last_fetch_cycle"))
+    _mark("read snapshots + gates defined")
+    eligible = frontier.join(hs, "host", "left").filter(
         F.col("last_fetch_cycle").isNull()
         | (F.lit(cycle) >= F.col("last_fetch_cycle") + F.ceil("crawl_delay"))
     )
@@ -268,20 +326,19 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         salt_src="url_hash",
         n_salt=cfg.n_salt,
     )
-    try:
-        fetch_base = (
-            io.read_log("fetch_log", cycle - 1).agg(F.count(F.lit(1))).collect()[0][0]
-        )
-    except FileNotFoundError:
-        fetch_base = 0
-    wseq = Window.orderBy("depth", "disc_seq")
-    batch = batch.withColumn(
-        "fetch_seq", F.row_number().over(wseq).cast("long") + F.lit(fetch_base) - 1
-    ).select("canon_url", "url_hash", "host", "depth", "disc_seq", "fetch_seq")
-    batch = batch.localCheckpoint()  # cut the window lineage; batch is small
+    counters = io.counters()
+    fetch_base = int(counters.get("total_fetches", 0))
+    batch = global_sequence(
+        batch.select("canon_url", "url_hash", "host", "depth", "disc_seq"),
+        ["depth", "disc_seq"],
+        "fetch_seq",
+        start=fetch_base,
+    ).localCheckpoint()
+    _mark("rank+seq batch")
 
-    # 4. fetch
-    fetched = _fetch_stage(batch)
+    # 4. fetch — persist: feeds fetch_log, documents AND parse; without it
+    # the synthetic fetch (at scale: the real fetch!) re-executes per sink
+    fetched = _fetch_stage(batch).persist()
     fetched_at = F.lit(
         (BASE_TIME + _dt.timedelta(seconds=cycle)).strftime("%Y-%m-%d %H:%M:%S")
     ).cast("timestamp")
@@ -303,8 +360,8 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         F.lit(cycle).cast("int").alias("cycle"),
     )
 
-    # 5. parse
-    parsed = _parse_stage(fetched)
+    # 5. parse — persist: feeds metadata, outlinks and the metrics count
+    parsed = _parse_stage(fetched).persist()
     metadata = parsed.select(
         F.col("canon_url").alias("doc_id"),
         "dc_title",
@@ -335,12 +392,9 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     else:
         new_links = ded.join(seen, ["url_hash", "canon_url"], "left_anti")
 
-    seen_base = (
-        seen.agg(F.coalesce(F.max("disc_seq") + 1, F.lit(0))).collect()[0][0]
-    )
-    wnew = Window.orderBy("parent_fetch_seq", "link_pos")
-    new_rows = new_links.withColumn(
-        "disc_seq", F.row_number().over(wnew).cast("long") + F.lit(seen_base) - 1
+    seen_base = int(counters.get("next_disc_seq", 0))
+    new_rows = global_sequence(
+        new_links, ["parent_fetch_seq", "link_pos"], "disc_seq", start=seen_base
     ).select(
         "url",
         "canon_url",
@@ -353,12 +407,12 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         F.lit(cycle).cast("int").alias("added_cycle"),
     )
     new_rows = new_rows.localCheckpoint()
+    _mark("links+dedup+probe+anti+seq")
 
-    remaining = kept.select(*[f.name for f in tables.FRONTIER.fields]).join(
-        batch.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
-    )
-    frontier_next = remaining.unionByName(new_rows)
-    seen_next = seen.unionByName(new_rows.select("url_hash", "canon_url", "disc_seq"))
+    n_new = new_rows.count()
+    _mark("n_new count")
+    # seen delta: ALL newly discovered URLs (denied ones included)
+    seen_delta = new_rows.select("url_hash", "canon_url", "disc_seq")
 
     # host_state: mark fetched hosts; add rows for newly-seen hosts
     batch_hosts = batch.select("host").distinct().withColumn("_f", F.lit(cycle))
@@ -371,7 +425,13 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     new_hosts = (
         new_rows.select("host").distinct().join(host_state.select("host"), "host", "left_anti")
     )
-    host_state_next = hs_known.unionByName(_robots_stage(new_hosts))
+    host_state_next = hs_known.unionByName(_robots_stage(new_hosts)).persist()
+
+    # frontier: remove the fetched batch, insert allowed new rows
+    remaining = frontier.join(
+        batch.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+    )
+    frontier_next = remaining.unionByName(_filter_allowed(new_rows, host_state_next))
 
     # 7. metrics (per hash-bucket lineage) + checkpoint commit
     n_sched = batch.count()
@@ -392,12 +452,18 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         )
     )
 
+    _mark("metrics prep")
     io.write_snapshot(fetch_log, "fetch_log", cycle)
+    _mark("write fetch_log (fetch ran here)")
     io.write_snapshot(documents, "documents", cycle)
+    _mark("write documents")
     io.write_snapshot(metadata, "metadata", cycle)
+    _mark("write metadata (parse ran here)")
     io.write_snapshot(metrics, "metrics", cycle)
     io.write_snapshot(frontier_next, "frontier", cycle)
-    io.write_snapshot(seen_next, "seen", cycle)
+    _mark("write frontier")
+    io.write_snapshot(seen_delta, "seen", cycle)
+    _mark("write seen delta")
     io.write_snapshot(host_state_next, "host_state", cycle)
     committed = [
         "fetch_log", "documents", "metadata", "metrics",
@@ -407,8 +473,18 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         delta = new_rows.select("url_hash")
         filt_next = build_filter(delta, cfg.n_buckets, cfg.m_bits, existing=filt)
         io.write_snapshot(filt_next, "seen_filter", cycle)
+        _mark("bloom rebuild")
         committed.append("seen_filter")
-    io.commit_cycle(cycle, committed)
+    io.commit_cycle(
+        cycle,
+        committed,
+        counters={
+            "total_fetches": fetch_base + n_sched,
+            "next_disc_seq": seen_base + int(n_new),
+        },
+    )
+    for df in (fetched, parsed, host_state_next):
+        df.unpersist()
     return {"cycle": cycle, "scheduled": n_sched, "parsed": int(n_parsed_df["n"]),
             "spans": int(n_parsed_df["s"])}
 

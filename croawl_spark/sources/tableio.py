@@ -51,17 +51,27 @@ class TableIO:
         except FileNotFoundError:
             return {"tables": {}, "last_cycle": -1}
 
-    def commit_cycle(self, cycle: int, tables: list[str]) -> None:
+    def commit_cycle(
+        self, cycle: int, tables: list[str], counters: dict | None = None
+    ) -> None:
+        """counters: engine scalars (total_fetches, next_disc_seq, ...)
+        committed atomically WITH the cycle — replaces per-cycle count jobs
+        and stays consistent on replay."""
         m = self.read_manifest()
         for t in tables:
             cs = m["tables"].setdefault(t, [])
             if cycle not in cs:
                 cs.append(cycle)
         m["last_cycle"] = max(m["last_cycle"], cycle)
+        if counters:
+            m.setdefault("counters", {}).update(counters)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    def counters(self) -> dict:
+        return self.read_manifest().get("counters", {})
 
     def last_committed_cycle(self) -> int:
         return self.read_manifest()["last_cycle"]

@@ -1,0 +1,207 @@
+"""Structured Streaming operators (SURVEY.md §2.9 ST1-ST5).
+
+ST1  stream_crawl         — micro-batch crawl loop: each trigger runs one
+                            scheduler cycle via foreachBatch; Spark's
+                            checkpointLocation + TableIO's cycle manifest
+                            together make the stream resumable.
+ST2  watermark            — late link-discovery rows dropped past delta.
+ST3  tumbling/sliding     — windowed fetch-rate metrics.
+ST4  session windows      — per-host activity sessions (gap = politeness).
+ST5  stateful dedup       — dropDuplicatesWithinWatermark on url_hash, and
+                            per-host last-fetch state via
+                            applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+# ---------------------------------------------------------------------------
+# ST1 — the streaming crawl loop
+# ---------------------------------------------------------------------------
+
+def stream_crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    n_cycles: int,
+    base_dir: str,
+    cfg=None,
+) -> "TableIO":
+    """Run the crawl as a Structured Streaming job: a rate source ticks once
+    per micro-batch and foreachBatch executes one scheduler cycle. The cycle
+    logic is IDENTICAL to the batch path (same run_cycle), so ordering
+    equality vs the oracle carries over; the stream adds trigger scheduling
+    and double checkpointing (stream offsets + table manifest).
+    """
+    from croawl_spark.plans.cycle import CrawlConfig, bootstrap, run_cycle
+    from croawl_spark.sources.tableio import TableIO
+
+    cfg = cfg or CrawlConfig()
+    io = TableIO(spark, base_dir)
+    io.destroy()
+    io = TableIO(spark, base_dir)
+    bootstrap(spark, seeds, io, cfg)
+
+    def one_cycle(batch_df: DataFrame, batch_id: int) -> None:
+        cycle = io.last_committed_cycle() + 1
+        if cycle >= n_cycles:
+            return
+        run_cycle(spark, io, cycle, cfg)
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1000)
+        .load()
+        .writeStream.foreachBatch(one_cycle)
+        .option("checkpointLocation", f"{base_dir}/_stream_ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    while io.last_committed_cycle() + 1 < n_cycles and q.isActive:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    return io
+
+
+# ---------------------------------------------------------------------------
+# ST2+ST3 — watermarked tumbling/sliding windows over an event feed
+# ---------------------------------------------------------------------------
+
+def windowed_rates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-window event counts + floor-sum; works on batch or stream DF."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value")).cast("long").alias("sum_floor"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_floor",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — session windows
+# ---------------------------------------------------------------------------
+
+def session_activity(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5 — streaming URL-seen dedup + custom per-host state
+# ---------------------------------------------------------------------------
+
+def stream_seen_dedup(links: DataFrame, ts_col: str = "ts", horizon: str = "1 hour") -> DataFrame:
+    """Streaming URL-seen within the watermark horizon: exact within-horizon
+    dedup held in the state store (the cross-cycle exact set lives in the
+    `seen` table; this is the low-latency front line)."""
+    return links.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(["url_hash"])
+
+
+_GAP_OUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_fetches", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("max_gap_s", LongType()),
+    ]
+)
+_GAP_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("last_epoch", LongType()),
+        StructField("max_gap", LongType()),
+    ]
+)
+
+
+def host_fetch_state(fetches: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """applyInPandasWithState: per-host running fetch count + max inter-fetch
+    gap — the custom stateful operator slot (politeness auditing)."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.exists:
+            n, last, mx = state.get
+        else:
+            n, last, mx = 0, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).sort_values()
+            for t in ts:
+                e = int(t.value // 1_000_000_000)
+                if last is not None:
+                    mx = max(mx, e - last)
+                last = e
+                n += 1
+        state.update((n, last, mx))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "n_fetches": [n],
+                "last_ts": [pd.Timestamp(last, unit="s") if last is not None else None],
+                "max_gap_s": [mx],
+            }
+        )
+
+    return (
+        fetches.withWatermark(ts_col, "1 hour")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update, _GAP_OUT, _GAP_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )

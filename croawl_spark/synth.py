@@ -24,7 +24,19 @@ def h64(s: str, salt: str = "") -> int:
     )
 
 
-N_HOSTS = 50
+# Universe size knobs. Defaults are PINNED for the ordering-oracle tests
+# (engine and oracle must agree); benchmarks may enlarge the universe by
+# setting these env vars BEFORE any crawl runs (both processes would need
+# the same values for any cross-checking).
+import os as _os
+
+N_HOSTS = int(_os.environ.get("CROAWL_SYNTH_HOSTS", "50"))
+N_PATHS = int(_os.environ.get("CROAWL_SYNTH_PATHS", "2000"))
+# Extra distractor <meta> tags per page (citation_*/og:* — present on real
+# scholarly landing pages in the hundreds; the extractor must scan past
+# them). 0 keeps test pages small; benches set ~100+ for realistic parse
+# cost per page.
+N_META = int(_os.environ.get("CROAWL_SYNTH_META_TAGS", "0"))
 _WORDS = (
     "the spark frontier crawl fetch queue host robots page link merge of and in "
     "scan filter window batch cycle seed depth hash bloom probe rank budget"
@@ -47,8 +59,10 @@ def target_url(parent: str, i: int) -> str:
     """The i-th outlink target of a page — possibly messy (uppercase,
     default port, dot-segments, fragment) to exercise canonicalization."""
     v = h64(parent, f"link{i}")
-    host = _zipf_host(v)
-    path = f"/p/{v % 2000}"
+    # host from HIGH bits, path from LOW bits — otherwise host becomes a
+    # function of path and the URL universe collapses to N_PATHS values
+    host = _zipf_host(v >> 20)
+    path = f"/p/{v % N_PATHS}"
     style = v % 10
     if style == 0:
         return f"HTTP://{host.upper()}:80{path}#frag{i}"
@@ -62,7 +76,10 @@ def target_url(parent: str, i: int) -> str:
 
 
 def _words(v: int, n: int) -> str:
-    return " ".join(_WORDS[(v >> (i * 5)) % len(_WORDS)] for i in range(n))
+    return " ".join(
+        _WORDS[((v >> ((i * 13) % 57)) + i * 2654435761) % len(_WORDS)]
+        for i in range(n)
+    )
 
 
 def gen_page(canon_url: str) -> dict:
@@ -86,7 +103,7 @@ def gen_page(canon_url: str) -> dict:
                  "media_ref": f"pdf://{v % 10**10:010d}", "offset": 0}
             ],
         }
-    n_links = v % 5  # 0..4 outlinks
+    n_links = v % 6  # 0..5 outlinks
     anchors = "".join(
         f'<a href="{target_url(canon_url, i)}">l{i}</a> ' for i in range(n_links)
     )
@@ -102,11 +119,22 @@ def gen_page(canon_url: str) -> dict:
         if v % 4 == 0:
             host = canon_url.split("/")[2]
             dc += f'<link rel="oai" href="http://{host}/oai?verb=Identify">'
-    body = f"<html>{dc}<p>{_words(v, 8)} {anchors}</p></html>"
-    # split the HTML at a deterministic point: extraction must reassemble
-    # text spans in offset order (FIXTURES.md §3 "split mid-tag" case)
-    cut = (v % max(len(body) - 2, 1)) + 1
-    pieces = [body[:cut], body[cut:]]
+    paras = "".join(
+        f"<p>{_words(h64(canon_url, f'w{j}'), 18)}</p>" for j in range(3 + v % 5)
+    )
+    distractors = "".join(
+        f'<meta name="citation_ref_{j}" content="{_WORDS[(v + j) % len(_WORDS)]} {j}">'
+        for j in range(N_META)
+    )
+    body = f"<html>{dc}{distractors}<p>{_words(v, 8)} {anchors}</p>{paras}</html>"
+    # split the HTML at deterministic points (possibly mid-tag): extraction
+    # must reassemble text spans in offset order (FIXTURES.md §3)
+    n_pieces = 2 + v % 5
+    step = max(len(body) // n_pieces, 1)
+    jitter = v % max(step - 1, 1)
+    cuts = [min(step * j + jitter, len(body)) for j in range(1, n_pieces)]
+    bounds = [0] + cuts + [len(body)]
+    pieces = [body[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
     spans, off = [], 0
     for j, piece in enumerate(pieces):
         spans.append({"kind": "text", "text": piece, "media_ref": None, "offset": off})

@@ -30,19 +30,6 @@ def simulate(seeds: list[str], n_cycles: int, k_per_host: int = 2):
     fetch_log row: (cycle, fetch_seq, canon_url, host, status, content_kind,
     nbytes)
     """
-    # bootstrap: canonicalize in seed order, first-wins, renumber 0..n-1
-    first: dict[str, int] = {}
-    for i, u in enumerate(seeds):
-        c = canonicalize_url(u)
-        if c is not None and c not in first:
-            first[c] = i
-    ordered = sorted(first.items(), key=lambda kv: kv[1])
-    frontier: dict[str, tuple[int, int]] = {}  # canon -> (depth, disc_seq)
-    seen: dict[str, int] = {}
-    for disc_seq, (c, _orig) in enumerate(ordered):
-        frontier[c] = (0, disc_seq)
-        seen[c] = disc_seq
-
     robots: dict[str, tuple[list, float]] = {}
 
     def host_of(c: str) -> str:
@@ -57,16 +44,31 @@ def simulate(seeds: list[str], n_cycles: int, k_per_host: int = 2):
         rest = c.split("/", 3)
         return "/" + rest[3].split("?")[0] if len(rest) > 3 else "/"
 
+    def robots_ok(c: str) -> bool:
+        rules, _ = rules_for(host_of(c))
+        return allowed(rules, path_of(c))
+
+    # bootstrap: canonicalize in seed order, first-wins, renumber 0..n-1.
+    # ALL deduped seeds enter seen; only robots-allowed rows enter the
+    # frontier (insert-time robots, matching the engine's pinned semantics).
+    first: dict[str, int] = {}
+    for i, u in enumerate(seeds):
+        c = canonicalize_url(u)
+        if c is not None and c not in first:
+            first[c] = i
+    ordered = sorted(first.items(), key=lambda kv: kv[1])
+    frontier: dict[str, tuple[int, int]] = {}  # canon -> (depth, disc_seq)
+    seen: dict[str, int] = {}
+    for disc_seq, (c, _orig) in enumerate(ordered):
+        seen[c] = disc_seq
+        if robots_ok(c):
+            frontier[c] = (0, disc_seq)
+
     last_fetch: dict[str, int] = {}
     fetch_log: list[tuple] = []
     fetch_seq = 0
 
     for t in range(n_cycles):
-        # 1. robots gate: denied rows removed this cycle
-        for c in list(frontier):
-            rules, _ = rules_for(host_of(c))
-            if not allowed(rules, path_of(c)):
-                del frontier[c]
         # 2. due-time gate + 3. per-host top-k by (depth, disc_seq)
         by_host: dict[str, list] = {}
         for c, (depth, dseq) in frontier.items():
@@ -109,7 +111,8 @@ def simulate(seeds: list[str], n_cycles: int, k_per_host: int = 2):
             sorted(fw.items(), key=lambda kv: kv[1][:2])
         ):
             seen[cu] = base + i
-            frontier[cu] = (d, base + i)
+            if robots_ok(cu):  # insert-time robots: denied never enter
+                frontier[cu] = (d, base + i)
     return fetch_log, seen, frontier
 
 

@@ -51,14 +51,14 @@ def test_fetch_order_exact(crawl):
 
 def test_seen_membership_exact(crawl):
     io, _, oracle_seen = crawl
-    seen = io.read_snapshot("seen")
+    seen = io.read_log("seen")
     got = {r["canon_url"]: r["disc_seq"] for r in seen.collect()}
     assert got == oracle_seen
 
 
 def test_seen_has_no_hash_dupes(crawl):
     io, _, _ = crawl
-    seen = io.read_snapshot("seen")
+    seen = io.read_log("seen")
     n = seen.count()
     assert seen.select("canon_url").distinct().count() == n
     assert seen.select("disc_seq").distinct().count() == n
