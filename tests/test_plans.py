@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we rely
+on must actually appear in the executed plan — pushdown, column pruning,
+broadcast joins, partial aggregation, no shuffles in map-only paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    p = _plan(spark, df)
+    assert "PushedFilters" in p and "l_quantity" in p.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the 2 needed columns
+    rs = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_broadcast_join_is_broadcast(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(spark, df)
+
+
+def test_anti_join_strategy(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    df = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    p = _plan(spark, df)
+    assert "LeftAnti" in p
+
+
+def test_agg_has_partial_phase(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = _plan(spark, df)
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_first_wins_uses_partial_min_by(spark):
+    from croawl_spark.operators.dedup import first_wins
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = first_wins(li, "l_orderkey", ["l_linenumber"])
+    p = _plan(spark, df)
+    assert "min_by" in p and p.count("Aggregate") >= 2
+    assert "Window" not in p  # the whole point: no full-row window shuffle
+
+
+def test_extract_path_has_no_shuffle(spark):
+    """§3.2: scan -> mapInPandas -> result must be exchange-free."""
+    from croawl_spark.plans.extract import extract_metadata
+    from croawl_spark.tables import DOCUMENTS_INTERLEAVED
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "<meta name='DC.title' content='t'>", None, 0)])],
+        DOCUMENTS_INTERLEAVED,
+    )
+    p = _plan(spark, extract_metadata(docs))
+    assert "Exchange" not in p
+
+
+def test_whole_stage_codegen_in_relational_path(spark):
+    # AQE hides codegen spans in 'formatted' mode pre-execution; 'codegen'
+    # mode reports the generated subtrees directly
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter("l_discount > 0.02").groupBy("l_returnflag").count()
+    assert "WholeStageCodegen" in _plan(spark, df, "codegen")
+
+
+def test_salted_ranking_partitions_by_salt(spark):
+    from croawl_spark.functions import urls as U
+    from croawl_spark.operators.ranking import salted_topk
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    fr = o.select(
+        F.concat(F.lit("http://h"), (F.col("o_custkey") % 5).cast("string"),
+                 F.lit(".t/p/"), F.col("o_orderkey").cast("string")).alias("canon_url"),
+        F.lit(0).alias("depth"), F.col("o_orderkey").alias("disc_seq"),
+    ).withColumn("url_hash", U.url_hash("canon_url")).withColumn("host", U.host_of("canon_url"))
+    df = salted_topk(fr, "host", [F.col("depth"), F.col("disc_seq")], k=3, n_salt=8)
+    p = _plan(spark, df, "extended")
+    # phase 1 partitions by (host, salt-expression), phase 2 by host only
+    assert "pmod" in p and p.count("Window") >= 2
