@@ -103,6 +103,165 @@ def build_filter(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cuckoo variant (Fan et al., CoNEXT 2014): same partitioned layout, adds
+# DELETION support (e.g. forgetting URLs after recrawl-TTL expiry). Buckets
+# of 4 slots x 16-bit fingerprints; two candidate buckets via partial-key
+# cuckoo hashing. Build is a per-AMQ-bucket python loop (eviction chains are
+# inherently sequential) — bounded because n_buckets scales with corpus.
+# ---------------------------------------------------------------------------
+
+_CK_SLOTS = 4
+_CK_FPMASK = 0xFFFF
+
+
+def _ck_fp(h: np.ndarray) -> np.ndarray:
+    fp = ((h.astype(np.uint64) >> np.uint64(40)) & np.uint64(_CK_FPMASK)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 means empty slot
+    return fp
+
+
+def _ck_i1(h: np.ndarray, m: int) -> np.ndarray:
+    return (h.astype(np.uint64) & np.uint64(m - 1)).astype(np.int64)
+
+
+def _ck_alt(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    # partial-key cuckoo: i2 = i1 XOR hash(fp)
+    fh = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(m - 1)
+    return (i.astype(np.uint64) ^ fh).astype(np.int64)
+
+
+class _CuckooTable:
+    def __init__(self, m_slots: int, blob: bytes | None = None):
+        assert m_slots & (m_slots - 1) == 0, "m_slots must be a power of 2"
+        self.m = m_slots
+        if blob is None:
+            self.t = np.zeros((m_slots, _CK_SLOTS), dtype=np.uint16)
+        else:
+            self.t = np.frombuffer(blob, dtype=np.uint16).reshape(m_slots, _CK_SLOTS).copy()
+
+    def insert(self, h: int) -> bool:
+        arr = np.array([h], dtype=np.int64)
+        fp = int(_ck_fp(arr)[0])
+        i1 = int(_ck_i1(arr, self.m)[0])
+        i2 = int(_ck_alt(np.array([i1]), np.array([fp], dtype=np.uint16), self.m)[0])
+        for i in (i1, i2):
+            empty = np.where(self.t[i] == 0)[0]
+            if len(empty):
+                self.t[i, empty[0]] = fp
+                return True
+        # evict: random-walk via deterministic rotation
+        i, cur = i1, fp
+        for kick in range(500):
+            slot = kick % _CK_SLOTS
+            cur, self.t[i, slot] = int(self.t[i, slot]), cur
+            i = int(_ck_alt(np.array([i]), np.array([cur], dtype=np.uint16), self.m)[0])
+            empty = np.where(self.t[i] == 0)[0]
+            if len(empty):
+                self.t[i, empty[0]] = cur
+                return True
+        return False  # table overfull
+
+    def contains_many(self, hs: np.ndarray) -> np.ndarray:
+        fp = _ck_fp(hs)
+        i1 = _ck_i1(hs, self.m)
+        i2 = _ck_alt(i1, fp, self.m)
+        in1 = (self.t[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.t[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, h: int) -> bool:
+        arr = np.array([h], dtype=np.int64)
+        fp = int(_ck_fp(arr)[0])
+        i1 = int(_ck_i1(arr, self.m)[0])
+        i2 = int(_ck_alt(np.array([i1]), np.array([fp], dtype=np.uint16), self.m)[0])
+        for i in (i1, i2):
+            hit = np.where(self.t[i] == fp)[0]
+            if len(hit):
+                self.t[i, hit[0]] = 0
+                return True
+        return False
+
+
+def build_cuckoo_filter(
+    seen: DataFrame, n_buckets: int = 64, m_slots: int = 1 << 12,
+    existing: DataFrame | None = None, deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Per-bucket cuckoo filter over seen(url_hash); supports incremental
+    inserts (``seen`` delta + ``existing``) and deletions (``deletes``)."""
+
+    def _merge(key, new_pdf: pd.DataFrame, old_pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        blob = old_pdf["bits"].iloc[0] if len(old_pdf) else None
+        n_old = int(old_pdf["n_items"].iloc[0]) if len(old_pdf) else 0
+        ck = _CuckooTable(m_slots, blob)
+        ins = new_pdf[new_pdf["op"] == 1]["url_hash"].to_numpy(dtype=np.int64)
+        dels = new_pdf[new_pdf["op"] == 0]["url_hash"].to_numpy(dtype=np.int64)
+        for h in ins:
+            ck.insert(int(h))
+        n_del = 0
+        for h in dels:
+            n_del += int(ck.delete(int(h)))
+        n = n_old + len(ins) - n_del
+        fp_rate = 2.0 * _CK_SLOTS / (1 << 16)
+        return pd.DataFrame(
+            {"bucket": [bucket], "kind": ["cuckoo"], "bits": [ck.t.tobytes()],
+             "n_items": [n], "fp_rate": [fp_rate]}
+        )
+
+    delta = seen.select(
+        F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_hash",
+        F.lit(1).alias("op"),
+    )
+    if deletes is not None:
+        delta = delta.unionByName(
+            deletes.select(
+                F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"),
+                "url_hash",
+                F.lit(0).alias("op"),
+            )
+        )
+    if existing is None:
+        existing = delta.sparkSession.createDataFrame([], SEEN_FILTER)
+    return (
+        delta.groupBy("bucket")
+        .cogroup(existing.groupBy("bucket"))
+        .applyInPandas(_merge, SEEN_FILTER)
+    )
+
+
+def probe_cuckoo(
+    candidates: DataFrame, filt: DataFrame, n_buckets: int = 64, m_slots: int = 1 << 12
+) -> DataFrame:
+    """Append ``maybe_seen`` using the cuckoo table (no false negatives for
+    present items; deletions are exact for items inserted once)."""
+    cand = candidates.withColumn(
+        "bucket", F.pmod("url_hash", F.lit(n_buckets)).cast("int")
+    )
+    out_schema = candidates.withColumn("maybe_seen", F.lit(True)).schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _probe(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(filt_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            ck = _CuckooTable(m_slots, filt_pdf["bits"].iloc[0])
+            maybe = ck.contains_many(hashes)
+        out = cand_pdf.drop(columns=["bucket"]).copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        cand.groupBy("bucket")
+        .cogroup(filt.select("bucket", "bits").groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
 def probe_filter(
     candidates: DataFrame, filt: DataFrame, n_buckets: int = 64, m_bits: int = 1 << 15
 ) -> DataFrame:

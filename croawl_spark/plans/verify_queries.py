@@ -676,6 +676,69 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_agg_cube(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    j = n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.cube("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+def q_win_range(spark, sf):
+    """Time-range window frame (W4 rangeBetween variant)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)"
+        ).alias("cnt_3h"),
+    )
+
+
+def q_stream_session(spark, sf):
+    """Session windows (ST4), batch-equivalent; oracle = gaps-and-islands."""
+    from croawl_spark.streaming.jobs import session_activity
+
+    e = _t(spark, sf, "events")
+    return session_activity(e, gap="30 minutes")
+
+
+def q_udtf_spans(spark, sf):
+    """Python UDTF (V5): span exploder with positional metadata."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    @udtf(
+        returnType=StructType(
+            [
+                StructField("doc_id", StringType()),
+                StructField("pos", IntegerType()),
+                StructField("kind", StringType()),
+                StructField("content", StringType()),
+            ]
+        )
+    )
+    class SpanExploder:
+        def eval(self, doc_id: str, spans):
+            ordered = sorted(spans or [], key=lambda s: s["offset"])
+            for i, s in enumerate(ordered):
+                yield doc_id, i, s["kind"], s["text"] if s["kind"] == "text" else s["media_ref"]
+
+    docs = _synth_spans_docs(spark, sf)
+    spark.udtf.register("span_exploder", SpanExploder)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.kind, t.content "
+        "FROM _udtf_docs, LATERAL span_exploder(doc_id, spans) t"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -730,6 +793,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "agg_cube": q_agg_cube,
+    "win_range": q_win_range,
+    "stream_session": q_stream_session,
+    "udtf_spans": q_udtf_spans,
 }
 
 
@@ -950,5 +1017,33 @@ ORACLE: dict[str, str] = {
     "span_extract": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         "array_to_string(string_split(text, ' ')[1:3], ' ') AS dc_title FROM documents"
+    ),
+    "agg_cube": (
+        "SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name, n_name) AS gid "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY CUBE(r_name, n_name)"
+    ),
+    "win_range": (
+        "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW) AS cnt_3h "
+        "FROM events"
+    ),
+    "stream_session": (
+        "WITH br AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM br) "
+        "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+        "strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end, "
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "udtf_spans": (
+        "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, "
+        "array_to_string(string_split(text, ' ')[1:3], ' ') AS first3 FROM documents) "
+        "SELECT doc_id, 0 AS pos, 'text' AS kind, "
+        "'<meta name=\"DC.title\" content=\"' || first3 || '\">' AS content FROM t "
+        "UNION ALL SELECT doc_id, 1, 'media', 'img://' || doc_id FROM t "
+        "UNION ALL SELECT doc_id, 2, 'text', text FROM t"
     ),
 }

@@ -144,3 +144,40 @@ def test_bloom_no_false_negatives(spark):
     # and the filter actually filters: most non-inserted are 'definitely new'
     fresh = probed.filter(~F.col("was_inserted") & ~F.col("maybe_seen")).count()
     assert fresh > 800
+
+
+def test_cuckoo_insert_probe_delete(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from croawl_spark.operators.seenfilter import build_cuckoo_filter, probe_cuckoo
+
+    rnd = random.Random(11)
+    hashes = [rnd.randint(-(2**63), 2**63 - 1) for _ in range(3000)]
+    seen = spark.createDataFrame([(h,) for h in hashes], "url_hash long")
+    filt = build_cuckoo_filter(seen, n_buckets=8, m_slots=1 << 10)
+    cand = spark.createDataFrame(
+        [(h, i < len(hashes)) for i, h in enumerate(
+            hashes + [rnd.randint(-(2**63), 2**63 - 1) for _ in range(1500)])],
+        "url_hash long, was_inserted boolean",
+    )
+    probed = probe_cuckoo(cand, filt, n_buckets=8, m_slots=1 << 10)
+    assert probed.filter(F.col("was_inserted") & ~F.col("maybe_seen")).count() == 0
+    assert probed.filter(~F.col("was_inserted") & ~F.col("maybe_seen")).count() > 1400
+
+    # deletion: remove a third; remaining items must still have no FNs,
+    # deleted ones mostly absent
+    dels = spark.createDataFrame([(h,) for h in hashes[:1000]], "url_hash long")
+    filt2 = build_cuckoo_filter(
+        spark.createDataFrame([], "url_hash long"),
+        n_buckets=8, m_slots=1 << 10, existing=filt, deletes=dels,
+    )
+    remaining = spark.createDataFrame(
+        [(h, True) for h in hashes[1000:]] + [(h, False) for h in hashes[:1000]],
+        "url_hash long, still_in boolean",
+    )
+    p2 = probe_cuckoo(remaining, filt2, n_buckets=8, m_slots=1 << 10)
+    assert p2.filter(F.col("still_in") & ~F.col("maybe_seen")).count() == 0
+    deleted_still_maybe = p2.filter(~F.col("still_in") & F.col("maybe_seen")).count()
+    assert deleted_still_maybe < 50  # only fp-collision residue
