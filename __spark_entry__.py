@@ -16,41 +16,18 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-host politeness top-k with anti-join dedup (J1+W1),
-    the crawl cycle's skeleton (SURVEY.md §7.2), over sf0.001."""
-    from pyspark.sql import functions as F
+    """Flagship: a REAL scheduler cycle end-to-end — bootstrap 80 seeds
+    (canonicalize -> first-wins dedup -> robots -> bloom), run cycle 0
+    (salted politeness ranking -> deterministic fetch_seq -> fetch -> DC/OAI
+    parse -> frontier update), return the fetch log."""
+    from croawl_spark import synth
+    from croawl_spark.plans.cycle import CrawlConfig, run_crawl
 
-    from croawl_spark.functions import urls as U
-    from croawl_spark.operators.ranking import salted_topk
-
-    orders = spark.read.parquet(f"{SF0001}/orders.parquet")
-    raw = orders.select(
-        F.concat(
-            F.lit("HTTP://Host"),
-            (F.col("o_custkey") % 20).cast("string"),
-            F.lit(".Example/a/../order/"),
-            F.col("o_orderkey").cast("string"),
-            F.lit("#frag"),
-        ).alias("url"),
-        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
-        F.col("o_orderkey").alias("disc_seq"),
+    cfg = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12)
+    io = run_crawl(
+        spark, synth.gen_seeds(80), 2, "/tmp/croawl_entry_warehouse", cfg
     )
-    frontier = raw.select(
-        U.canon("url").alias("canon_url"), "depth", "disc_seq"
-    ).withColumn("url_hash", U.url_hash("canon_url")).withColumn(
-        "host", U.host_of("canon_url")
-    )
-    seen = frontier.filter(F.col("disc_seq") % 5 == 0).select("url_hash")
-    candidates = frontier.join(seen, "url_hash", "left_anti")
-    batch = salted_topk(
-        candidates,
-        group_col="host",
-        order_cols=[F.col("depth"), F.col("disc_seq")],
-        k=3,
-        salt_src="url_hash",
-        n_salt=8,
-    )
-    return batch.select("host", "canon_url", "depth", "disc_seq", "host_rank")
+    return io.read_log("fetch_log").orderBy("fetch_seq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,6 +38,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "span_extract",      # Arrow pandas-UDF extraction path
         "stream_window",     # tumbling window agg
     ]
+    QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()

@@ -292,7 +292,8 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     import time as _time
 
     _prof = _os.environ.get("CROAWL_PROFILE") == "1"
-    _t0 = [_time.perf_counter()]
+    _cycle_start = _time.perf_counter()
+    _t0 = [_cycle_start]
 
     def _mark(label: str) -> None:
         if _prof:
@@ -434,6 +435,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     frontier_next = remaining.unionByName(_filter_allowed(new_rows, host_state_next))
 
     # 7. metrics (per hash-bucket lineage) + checkpoint commit
+    _cycle_wall_ms = int((_time.perf_counter() - _cycle_start) * 1000)
     n_sched = batch.count()
     n_parsed_df = parsed.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("n_spans"), F.lit(0)).alias("s")
@@ -447,7 +449,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
             "urls_scheduled",
             F.lit(int(n_parsed_df["n"])).cast("long").alias("urls_parsed"),
             F.lit(int(n_parsed_df["s"])).cast("long").alias("spans_parsed"),
-            F.lit(0).cast("long").alias("wall_ms"),
+            F.lit(_cycle_wall_ms).cast("long").alias("wall_ms"),
             F.concat(F.lit(f"{cycle}:"), F.col("partition_id")).alias("lineage_ref"),
         )
     )

@@ -108,3 +108,51 @@ class TableIO:
 
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)
+
+
+class IcebergTableIO:
+    """Production backend of the same port over Apache Iceberg.
+
+    NOT exercisable in this sandbox (no Iceberg runtime jar, no network to
+    fetch one — SURVEY.md §7.4); the code documents the production mapping
+    so deployment is a config change, not a redesign:
+
+      * snapshot tables  -> ``df.writeTo(tbl).overwritePartitions()`` with a
+        ``cycle`` partition column; read picks the latest committed cycle
+      * log tables       -> ``df.writeTo(tbl).append()`` partitioned by
+        ``cycle`` (partition pruning replaces the directory unions)
+      * frontier/seen    -> ``PARTITIONED BY (bucket(N, url_hash))`` so the
+        anti-join and the AMQ probe co-partition storage-side (SPJ can then
+        eliminate the shuffle entirely)
+      * manifest         -> Iceberg's own snapshot log; `counters` ride as
+        snapshot summary properties; atomicity comes from the Iceberg commit
+      * resume           -> read the last snapshot's summary instead of
+        _manifest.json
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, db: str):
+        self.spark = spark
+        self.ns = f"{catalog}.{db}"
+        try:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+        except Exception as e:  # pragma: no cover — sandbox has no Iceberg
+            raise RuntimeError(
+                "Iceberg runtime not available; use TableIO (parquet+manifest)"
+            ) from e
+
+    def write_snapshot(self, df: DataFrame, table: str, cycle: int) -> None:
+        tbl = f"{self.ns}.{table}"
+        df = df.withColumn("cycle", F.lit(cycle))
+        if table in SNAPSHOT_TABLES:
+            df.writeTo(tbl).overwritePartitions()
+        else:
+            df.writeTo(tbl).append()
+
+    def read_snapshot(self, table: str, cycle: int | None = None) -> DataFrame:
+        t = self.spark.table(f"{self.ns}.{table}")
+        target = t.agg(F.max("cycle")).collect()[0][0] if cycle is None else cycle
+        return t.filter(F.col("cycle") == target).drop("cycle")
+
+    def read_log(self, table: str, upto_cycle: int | None = None) -> DataFrame:
+        t = self.spark.table(f"{self.ns}.{table}")
+        return t if upto_cycle is None else t.filter(F.col("cycle") <= upto_cycle)

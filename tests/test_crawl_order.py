@@ -109,3 +109,34 @@ def test_bloom_filter_off_same_result(spark):
         a = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/a", CFG))
         b = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/b", cfg_off))
     assert a == b
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    """W1 correctness: the salted two-phase ranking must select EXACTLY the
+    rows a plain per-host window would (salt defuses skew, never changes
+    results)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from croawl_spark.functions import urls as U
+    from croawl_spark.operators.ranking import salted_topk
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    fr = o.select(
+        F.concat(F.lit("http://h"), (F.col("o_custkey") % 7).cast("string"),
+                 F.lit(".t/p/"), F.col("o_orderkey").cast("string")).alias("canon_url"),
+        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
+        F.col("o_orderkey").alias("disc_seq"),
+    ).withColumn("url_hash", U.url_hash("canon_url")).withColumn(
+        "host", U.host_of("canon_url"))
+    for k, n_salt in ((5, 1), (5, 16), (50, 8)):
+        salted = salted_topk(fr, "host", [F.col("depth"), F.col("disc_seq")],
+                             k=k, n_salt=n_salt)
+        w = Window.partitionBy("host").orderBy("depth", "disc_seq")
+        plain = (fr.withColumn("host_rank", F.row_number().over(w))
+                 .filter(F.col("host_rank") <= k))
+        got = sorted((r["host"], r["canon_url"], r["host_rank"])
+                     for r in salted.collect())
+        want = sorted((r["host"], r["canon_url"], r["host_rank"])
+                      for r in plain.collect())
+        assert got == want, (k, n_salt)
