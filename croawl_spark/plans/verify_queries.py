@@ -676,6 +676,71 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_dedup_exact_hash(spark, sf):
+    """Exact dedup keyed on xxhash64(text) — at 100 TB you group by the
+    64-bit hash, not the document body; the oracle groups by the text
+    itself, so the query also PROVES hash-grouping loses nothing here."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.xxhash64("text").alias("_h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+    )
+
+
+def q_dedup_embed(spark, sf):
+    """Embedding-cosine near-duplicate pairs (quantized-int exact form so
+    the oracle is bit-identical; threshold chosen for non-empty output on
+    random vectors)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    qe = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")).alias("q"),
+    )
+    ex = qe.select("vec_id", F.posexplode("q").alias("pos", "v"))
+    norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("norm2"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("norm2").alias("n_a"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("norm2").alias("n_b"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("n_a") * F.sqrt("n_b")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+_LANG_STOPS = {
+    "en": ("the", "of", "and", "in", "a"),
+    "es": ("el", "de", "la", "los", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "les", "et", "des"),
+}
+
+
+def q_lang_id_full(spark, sf):
+    """Stopword-vote language ID over 4 languages; deterministic argmax
+    (score desc, language name asc)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in _LANG_STOPS.items()
+    }
+    out = d.select("doc_id", *[s.alias(f"s_{lang}") for lang, s in scores.items()])
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_STOPS])
+    pred = F.when(best <= 0, F.lit("unk"))
+    for lang in sorted(_LANG_STOPS):  # asc name order = deterministic ties
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return out.select("doc_id", *[f"s_{lang}" for lang in _LANG_STOPS], pred.alias("pred_lang"))
+
+
 def q_agg_cube(spark, sf):
     n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
     j = n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -793,6 +858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "dedup_embed": q_dedup_embed,
+    "lang_id_full": q_lang_id_full,
     "agg_cube": q_agg_cube,
     "win_range": q_win_range,
     "stream_session": q_stream_session,
@@ -1017,6 +1085,35 @@ ORACLE: dict[str, str] = {
     "span_extract": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         "array_to_string(string_split(text, ' ')[1:3], ' ') AS dc_title FROM documents"
+    ),
+    "dedup_exact_hash": (
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text"
+    ),
+    "dedup_embed": (
+        "WITH ex AS (SELECT vec_id, i AS pos, "
+        "CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS v "
+        "FROM embeddings, range(64) t(i) WHERE vec_id < 150), "
+        "norms AS (SELECT vec_id, SUM(v*v) AS norm2 FROM ex GROUP BY vec_id), "
+        "dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v*b.v) AS dot "
+        "FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, CAST(dot AS DOUBLE) / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine "
+        "FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b "
+        "WHERE CAST(dot AS DOUBLE) / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.5"
+    ),
+    "lang_id_full": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        "CAST(len(list_intersect(toks, ['the','of','and','in','a'])) AS INT) AS s_en, "
+        "CAST(len(list_intersect(toks, ['el','de','la','los','y'])) AS INT) AS s_es, "
+        "CAST(len(list_intersect(toks, ['der','die','und','das','ein'])) AS INT) AS s_de, "
+        "CAST(len(list_intersect(toks, ['le','la','les','et','des'])) AS INT) AS s_fr "
+        "FROM t) "
+        "SELECT doc_id, s_en, s_es, s_de, s_fr, "
+        "CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'unk' "
+        "WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de' "
+        "WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en' "
+        "WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS pred_lang FROM s"
     ),
     "agg_cube": (
         "SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name, n_name) AS gid "
