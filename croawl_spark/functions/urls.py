@@ -113,10 +113,28 @@ def canonicalize_url(url: str | None) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Fast path: URLs already in canonical form pass through untouched. The
+# regex admits ONLY strings canonicalize_url maps to themselves (lowercase
+# scheme+host, no port/userinfo/fragment/percent-escapes/whitespace, non-empty
+# path, no dot-segments, non-empty query if '?') — equivalence is enforced by
+# tests/test_extract.py::test_canonicalize_fast_path_equivalence. On real link
+# streams the plain-URL majority skips Python entirely (pandas C regex).
+_FAST_RE = re.compile(
+    r"^https?://[a-z0-9]([a-z0-9.\-]*[a-z0-9])?/[^?#%\s]*(\?[^?#%\s]+)?$"
+)
+_DOTSEG_RE = re.compile(r"/\.{1,2}(?=/|$|\?)")
+
+
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized canonicalization; one Python batch per ~10k rows."""
-    return urls.map(canonicalize_url)
+    fast = urls.str.match(_FAST_RE, na=False) & ~urls.str.contains(
+        _DOTSEG_RE, regex=True, na=False
+    )
+    out = urls.copy()
+    slow = ~fast
+    out[slow] = urls[slow].map(canonicalize_url)
+    return out
 
 
 def canon(col: Column | str) -> Column:

@@ -769,6 +769,17 @@ def q_stream_session(spark, sf):
     return session_activity(e, gap="30 minutes")
 
 
+def q_stream_window_sliding(spark, sf):
+    """Sliding windows (ST3): 2h windows sliding by 1h; every event lands in
+    exactly two windows — the oracle materializes both memberships."""
+    from croawl_spark.streaming.jobs import windowed_rates
+
+    e = _t(spark, sf, "events")
+    return windowed_rates(e, window="2 hours", slide="1 hour").select(
+        "wstart", "event_type", "n", "sum_floor"
+    )
+
+
 def q_udtf_spans(spark, sf):
     """Python UDTF (V5): span exploder with positional metadata."""
     from pyspark.sql.functions import udtf
@@ -864,6 +875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube": q_agg_cube,
     "win_range": q_win_range,
     "stream_session": q_stream_session,
+    "stream_window_sliding": q_stream_window_sliding,
     "udtf_spans": q_udtf_spans,
 }
 
@@ -1134,6 +1146,15 @@ ORACLE: dict[str, str] = {
         "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
         "strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end, "
         "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "stream_window_sliding": (
+        "WITH m AS ("
+        "SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') "
+        "AS wstart, event_type, value FROM events "
+        "UNION ALL SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), "
+        "event_type, value FROM events) "
+        "SELECT wstart, event_type, COUNT(*) AS n, "
+        "CAST(SUM(FLOOR(value)) AS BIGINT) AS sum_floor FROM m GROUP BY 1, 2"
     ),
     "udtf_spans": (
         "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, "

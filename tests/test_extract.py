@@ -181,3 +181,34 @@ def test_cuckoo_insert_probe_delete(spark):
     assert p2.filter(F.col("still_in") & ~F.col("maybe_seen")).count() == 0
     deleted_still_maybe = p2.filter(~F.col("still_in") & F.col("maybe_seen")).count()
     assert deleted_still_maybe < 50  # only fp-collision residue
+
+
+def test_canonicalize_fast_path_equivalence():
+    """The vectorized fast path in canonicalize_udf must admit ONLY
+    fixed points of canonicalize_url."""
+    import random
+    import re
+
+    import pandas as pd
+
+    from croawl_spark import synth
+    from croawl_spark.functions.urls import _DOTSEG_RE, _FAST_RE
+
+    urls = []
+    for i in range(20000):
+        urls.append(synth.target_url(f"eq{i // 3}", i % 3))
+    rnd = random.Random(99)
+    for _ in range(5000):
+        urls.append(
+            "http" + rnd.choice(["", "s"]) + "://"
+            + "".join(rnd.choice("abcZ09.-:@/") for _ in range(rnd.randint(3, 15)))
+            + rnd.choice(["", "/p/../x", "?q=1", "?", "#f", "/%41", "/a//b", "/."])
+        )
+    s = pd.Series(urls)
+    fast = s.str.match(_FAST_RE, na=False) & ~s.str.contains(_DOTSEG_RE, regex=True, na=False)
+    n_fast = 0
+    for u, is_fast in zip(urls, fast):
+        if is_fast:
+            n_fast += 1
+            assert canonicalize_url(u) == u, u
+    assert n_fast > 5000  # the fast path actually fires on plain URLs
