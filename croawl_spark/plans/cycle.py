@@ -63,7 +63,7 @@ from pyspark.sql.types import (
 from croawl_spark import synth, tables
 from croawl_spark.functions import robots as R
 from croawl_spark.functions import urls as U
-from croawl_spark.functions.extract import extract_from_html
+
 from croawl_spark.operators.dedup import first_wins
 from croawl_spark.operators.ranking import global_sequence, salted_topk
 from croawl_spark.operators.seenfilter import build_filter, probe_filter
@@ -102,30 +102,9 @@ _FETCH_OUT = StructType(
 )
 
 
-def _fetch_stage(batch: DataFrame) -> DataFrame:
-    """V6 synthetic fetch: mapInPandas, Arrow batches, no shuffle."""
-
-    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pages = pdf["canon_url"].map(synth.gen_page)
-            out = pdf[
-                ["canon_url", "url_hash", "host", "depth", "disc_seq", "fetch_seq"]
-            ].copy()
-            out["status"] = pages.map(lambda p: p["status"]).astype("int32")
-            out["content_kind"] = pages.map(lambda p: p["content_kind"])
-            out["bytes"] = pages.map(lambda p: p["nbytes"]).astype("int64")
-            out["spans"] = pages.map(lambda p: p["spans"])
-            yield out
-
-    return batch.mapInPandas(fetch, _FETCH_OUT)
-
-
-_PARSE_OUT = StructType(
-    [
-        StructField("canon_url", StringType()),
-        StructField("url_hash", LongType()),
-        StructField("depth", IntegerType()),
-        StructField("fetch_seq", LongType()),
+_FETCH_PARSE_OUT = StructType(
+    list(_FETCH_OUT.fields)
+    + [
         StructField("dc_title", StringType()),
         StructField("dc_creator", ArrayType(StringType())),
         StructField("dc_identifier", StringType()),
@@ -136,41 +115,39 @@ _PARSE_OUT = StructType(
 )
 
 
-def html_expr(spans_col: str = "spans") -> F.Column:
-    """Assemble the document HTML JVM-side: offset-sort the spans, keep text
-    spans, join. Keeps the Arrow crossing to one flat string column instead
-    of nested array<struct> — the parse stage's throughput hinge."""
-    return F.expr(
-        f"array_join(transform(filter(array_sort({spans_col}, (a, b) -> "
-        "CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 "
-        "ELSE 0 END), s -> s.kind = 'text' AND s.text IS NOT NULL), "
-        "s -> s.text), '')"
-    )
+def _fetch_stage(batch: DataFrame) -> DataFrame:
+    """V6 fetch fused with V3 parse: one mapInPandas stage, one Arrow
+    crossing. The page spans are python objects right after gen_page, so
+    extraction runs on them in place — shipping spans to the JVM and a
+    reassembled HTML string back to python (the unfused shape) would double
+    the crossings for zero benefit. The standalone parse path for existing
+    documents tables lives in plans/extract.py."""
 
+    def fetch_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from croawl_spark.functions.extract import extract_all
 
-def _parse_stage(fetched: DataFrame) -> DataFrame:
-    """V3 DC/OAI + outlink extraction (mapInPandas over JVM-assembled HTML)."""
-    slim = fetched.filter(F.col("status") == 200).select(
-        "canon_url",
-        "url_hash",
-        "depth",
-        "fetch_seq",
-        html_expr().alias("html"),
-        F.size("spans").cast("int").alias("n_spans"),
-    )
-
-    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            exs = [extract_from_html(h) for h in pdf["html"]]
-            out = pdf[["canon_url", "url_hash", "depth", "fetch_seq", "n_spans"]].copy()
-            out["dc_title"] = [e["dc_title"] for e in exs]
-            out["dc_creator"] = [e["dc_creator"] for e in exs]
-            out["dc_identifier"] = [e["dc_identifier"] for e in exs]
-            out["oai_endpoint"] = [e["oai_endpoint"] for e in exs]
-            out["outlinks"] = [e["outlinks"] for e in exs]
-            yield out[[f.name for f in _PARSE_OUT.fields]]
+            pages = pdf["canon_url"].map(synth.gen_page)
+            out = pdf[
+                ["canon_url", "url_hash", "host", "depth", "disc_seq", "fetch_seq"]
+            ].copy()
+            out["status"] = pages.map(lambda p: p["status"]).astype("int32")
+            out["content_kind"] = pages.map(lambda p: p["content_kind"])
+            out["bytes"] = pages.map(lambda p: p["nbytes"]).astype("int64")
+            out["spans"] = pages.map(lambda p: p["spans"])
+            exs = [
+                extract_all(p["spans"]) if p["status"] == 200 else None
+                for p in pages
+            ]
+            out["dc_title"] = [e["dc_title"] if e else None for e in exs]
+            out["dc_creator"] = [e["dc_creator"] if e else None for e in exs]
+            out["dc_identifier"] = [e["dc_identifier"] if e else None for e in exs]
+            out["oai_endpoint"] = [e["oai_endpoint"] if e else None for e in exs]
+            out["outlinks"] = [e["outlinks"] if e else None for e in exs]
+            out["n_spans"] = pages.map(lambda p: len(p["spans"])).astype("int32")
+            yield out
 
-    return slim.mapInPandas(parse, _PARSE_OUT)
+    return batch.mapInPandas(fetch_parse, _FETCH_PARSE_OUT)
 
 
 _HOST_ROBOTS_OUT = tables.HOST_STATE
@@ -361,8 +338,8 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         F.lit(cycle).cast("int").alias("cycle"),
     )
 
-    # 5. parse — persist: feeds metadata, outlinks and the metrics count
-    parsed = _parse_stage(fetched).persist()
+    # 5. parse output (fused into the fetch stage — one Arrow crossing)
+    parsed = fetched.filter(F.col("status") == 200)
     metadata = parsed.select(
         F.col("canon_url").alias("doc_id"),
         "dc_title",
@@ -485,7 +462,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
             "next_disc_seq": seen_base + int(n_new),
         },
     )
-    for df in (fetched, parsed, host_state_next):
+    for df in (fetched, host_state_next):
         df.unpersist()
     return {"cycle": cycle, "scheduled": n_sched, "parsed": int(n_parsed_df["n"]),
             "spans": int(n_parsed_df["s"])}
