@@ -741,6 +741,30 @@ def q_lang_id_full(spark, sf):
     return out.select("doc_id", *[f"s_{lang}" for lang in _LANG_STOPS], pred.alias("pred_lang"))
 
 
+def q_agg_pivot(spark, sf):
+    """Pivot: order counts per (status x priority-bucket)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("pr", F.substring("o_orderpriority", 1, 1))
+        .groupBy("o_orderstatus")
+        .pivot("pr", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(p), F.lit(0)).alias(f"p{p}") for p in "12345"],
+        )
+    )
+
+
+def q_agg_percentile(spark, sf):
+    """Exact continuous percentiles (same interpolation formula both engines)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+    )
+
+
 def q_agg_cube(spark, sf):
     n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
     j = n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -872,6 +896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,
     "lang_id_full": q_lang_id_full,
+    "agg_pivot": q_agg_pivot,
+    "agg_percentile": q_agg_percentile,
     "agg_cube": q_agg_cube,
     "win_range": q_win_range,
     "stream_session": q_stream_session,
@@ -1126,6 +1152,19 @@ ORACLE: dict[str, str] = {
         "WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en' "
         "WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es' "
         "ELSE 'fr' END AS pred_lang FROM s"
+    ),
+    "agg_pivot": (
+        "SELECT o_orderstatus, "
+        "COUNT(*) FILTER (substr(o_orderpriority,1,1) = '1') AS p1, "
+        "COUNT(*) FILTER (substr(o_orderpriority,1,1) = '2') AS p2, "
+        "COUNT(*) FILTER (substr(o_orderpriority,1,1) = '3') AS p3, "
+        "COUNT(*) FILTER (substr(o_orderpriority,1,1) = '4') AS p4, "
+        "COUNT(*) FILTER (substr(o_orderpriority,1,1) = '5') AS p5 "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    "agg_percentile": (
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, "
+        "quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem GROUP BY l_returnflag"
     ),
     "agg_cube": (
         "SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name, n_name) AS gid "

@@ -140,3 +140,13 @@ def test_salted_topk_equals_plain_topk(spark):
         want = sorted((r["host"], r["canon_url"], r["host_rank"])
                       for r in plain.collect())
         assert got == want, (k, n_salt)
+
+
+def test_load_seeds_preserves_file_order(spark, tmp_path):
+    from croawl_spark.sources.seeds import load_seeds
+
+    lines = [f"http://h{i % 3}.test/p/{i}" for i in range(500)]
+    f = tmp_path / "seeds.txt"
+    f.write_text("\n".join(lines) + "\n")
+    got = {r["url"]: r["seed_seq"] for r in load_seeds(spark, str(f)).collect()}
+    assert got == {u: i for i, u in enumerate(lines)}
