@@ -82,6 +82,110 @@ def _explode_tables(df: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant: k-means cells + n_probe nearest-cell search.
+# Centroids are trained ONCE on a bounded, deterministically-chosen sample
+# (driver-side numpy Lloyd iterations — the sample is small by construction;
+# at 100 TB you train on a fixed-size sample exactly the same way), then
+# assignment is a vectorized mapInPandas argmin and search is an equi-join
+# on cell id over the union of the query's n_probe nearest cells.
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample: int = 512,
+    iters: int = 5,
+) -> np.ndarray:
+    """Deterministic k-means: sample = lowest ids (stable), k-means++-free
+    init from evenly-spaced sample rows, fixed Lloyd iterations."""
+    rows = (
+        vectors.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    idx = np.linspace(0, len(X) - 1, k).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray, vec_col: str = "vec") -> DataFrame:
+    out_schema = StructType(list(df.schema.fields) + [StructField("cell", LongType())])
+    C = centroids
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            if len(pdf):
+                M = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                pdf["cell"] = d.argmin(axis=1).astype(np.int64)
+            else:
+                pdf["cell"] = pd.Series([], dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: assign corpus to cells once; each query probes its
+    n_probe nearest cells; exact cosine re-rank on the candidate union."""
+    C = ivf_train_centroids(vectors, id_col, vec_col, k=n_cells)
+    vb = with_ivf_cell(
+        vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")),
+        C, "cand_vec",
+    )
+    spark = vectors.sparkSession
+
+    # per-query probe cells (driver-free: computed in the same assign UDF
+    # shape, emitting n_probe rows per query)
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("query_vec", queries.schema[vec_col].dataType),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64)
+                d = ((C - v[None, :]) ** 2).sum(axis=1)
+                for cell in np.argsort(d)[:n_probe]:
+                    rows.append((qid, vec, int(cell)))
+            yield pd.DataFrame(rows, columns=["query_id", "query_vec", "cell"])
+
+    qb = queries.mapInPandas(probe, out_schema)
+    joined = qb.join(vb, "cell").filter(F.col("query_id") != F.col("cand_id"))
+    scored = joined.withColumn("cosine", cosine_expr("query_vec", "cand_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", "rk")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -666,6 +666,14 @@ def q_ann_lsh(spark, sf):
     return ann_lsh_topk(e.filter(F.col("vec_id") >= 5), qs, k=5)
 
 
+def q_ann_ivf(spark, sf):
+    from croawl_spark.operators.ann import ann_ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    return ann_ivf_topk(e.filter(F.col("vec_id") >= 5), qs, k=5)
+
+
 def q_multimodal_features(spark, sf):
     from croawl_spark.operators.multimodal import decode_features, synth_media_table
 
@@ -892,6 +900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,

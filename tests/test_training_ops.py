@@ -90,3 +90,22 @@ def test_decode_real_is_explicit_stub():
 
     with _pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_ann_ivf_recall_and_determinism(spark):
+    from croawl_spark.operators.ann import ann_ivf_topk, cosine_expr
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs, cands = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    bf = (
+        qs.alias("q").crossJoin(cands.alias("c"))
+        .select(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id"),
+                cosine_expr("q.embedding", "c.embedding").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    truth = {(r["query_id"], r["cand_id"]) for r in
+             bf.withColumn("rk", F.row_number().over(w)).filter("rk<=5").collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in ann_ivf_topk(cands, qs, k=5).collect()}
+    b = {(r["query_id"], r["cand_id"]) for r in ann_ivf_topk(cands, qs, k=5).collect()}
+    assert a == b  # deterministic centroids + assignment
+    assert len(a & truth) >= 8, f"ivf recall {len(a & truth)}/25"
