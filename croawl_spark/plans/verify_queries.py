@@ -749,6 +749,18 @@ def q_lang_id_full(spark, sf):
     return out.select("doc_id", *[f"s_{lang}" for lang in _LANG_STOPS], pred.alias("pred_lang"))
 
 
+def q_agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (A5 family) via SQL on both engines."""
+    _t(spark, sf, "nation").createOrReplaceTempView("_gs_nation")
+    _t(spark, sf, "region").createOrReplaceTempView("_gs_region")
+    return spark.sql(
+        "SELECT r_name, n_regionkey, COUNT(*) AS n, "
+        "GROUPING_ID(r_name, n_regionkey) AS gid "
+        "FROM _gs_nation JOIN _gs_region ON n_regionkey = r_regionkey "
+        "GROUP BY GROUPING SETS ((r_name), (n_regionkey), ())"
+    )
+
+
 def q_agg_pivot(spark, sf):
     """Pivot: order counts per (status x priority-bucket)."""
     o = _t(spark, sf, "orders")
@@ -905,6 +917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,
     "lang_id_full": q_lang_id_full,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "agg_pivot": q_agg_pivot,
     "agg_percentile": q_agg_percentile,
     "agg_cube": q_agg_cube,
@@ -1161,6 +1174,12 @@ ORACLE: dict[str, str] = {
         "WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en' "
         "WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es' "
         "ELSE 'fr' END AS pred_lang FROM s"
+    ),
+    "agg_grouping_sets": (
+        "SELECT r_name, n_regionkey, COUNT(*) AS n, "
+        "GROUPING(r_name, n_regionkey) AS gid "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY GROUPING SETS ((r_name), (n_regionkey), ())"
     ),
     "agg_pivot": (
         "SELECT o_orderstatus, "
