@@ -1132,7 +1132,9 @@ ORACLE: dict[str, str] = {
         "CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS v "
         "FROM embeddings, range(64) t(i)), "
         "norms AS (SELECT vec_id, SUM(v*v) AS norm2 FROM ex GROUP BY vec_id), "
-        "dots AS (SELECT q.vec_id AS qid, c.vec_id, SUM(q.v * c.v) AS dot "
+        # CAST: DuckDB promotes SUM(BIGINT*BIGINT) to HUGEINT (-> float64 in
+        # pandas); Spark keeps int64. Values are identical — pin the dtype.
+        "dots AS (SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.v * c.v) AS BIGINT) AS dot "
         "FROM ex q JOIN ex c ON q.pos = c.pos WHERE q.vec_id < 5 AND c.vec_id >= 5 "
         "GROUP BY 1, 2), "
         "cos AS (SELECT qid, d.vec_id, dot, "
@@ -1145,6 +1147,35 @@ ORACLE: dict[str, str] = {
     "span_extract": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         "array_to_string(string_split(text, ' ')[1:3], ' ') AS dc_title FROM documents"
+    ),
+    # span_fp = sha256 over "\x1e".join(kind,text,media_ref) + "\x1d" per span
+    # in offset order (functions/extract.span_fingerprint) — the synthesized
+    # spans are closed-form in the flat text, so DuckDB rebuilds the exact
+    # byte stream with chr(30)/chr(29) and hashes it independently.
+    "span_fingerprint": (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, sha256("
+        "'text' || chr(30) || '<meta name=\"DC.title\" content=\"' || "
+        "array_to_string(string_split(text, ' ')[1:3], ' ') || '\">' || chr(30) || chr(29) || "
+        "'media' || chr(30) || chr(30) || 'img://' || CAST(doc_id AS VARCHAR) || chr(29) || "
+        "'text' || chr(30) || text || chr(30) || chr(29)"
+        ") AS span_fp FROM documents"
+    ),
+    # closed-form expected canon of the synthesized messy URL: scheme+host
+    # lowercased, default :80 dropped, /a/./b/../p -> /a/p, fragment stripped
+    "url_canonicalize": (
+        "SELECT c_custkey, 'http://host' || CAST(c_custkey % 20 AS VARCHAR) || "
+        "'.example/a/p/' || CAST(c_custkey AS VARCHAR) AS canon_url FROM customer"
+    ),
+    # the salted two-phase W1 ranking must equal plain SQL per-host top-k
+    "crawl_rank_batch": (
+        "WITH fr AS (SELECT "
+        "'http://h' || CAST(o_custkey % 40 AS VARCHAR) || '.test/o/' || "
+        "CAST(o_orderkey AS VARCHAR) AS canon_url, "
+        "'h' || CAST(o_custkey % 40 AS VARCHAR) || '.test' AS host, "
+        "CAST(o_orderkey % 4 AS INT) AS depth, o_orderkey AS disc_seq FROM orders) "
+        "SELECT host, canon_url, depth, disc_seq, CAST(rn AS INT) AS host_rank FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY depth, disc_seq) AS rn "
+        "FROM fr) WHERE rn <= 3"
     ),
     "dedup_exact_hash": (
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text"
