@@ -1,0 +1,118 @@
+"""Near-duplicate cluster resolution: connected components + survivor pick.
+
+The near-dup detectors (operators/minhash.py, simhash, embedding-cosine)
+emit *pairs*; an actual dedup pipeline must resolve pairs into clusters
+(transitive closure) and keep one document per cluster. This is the
+hash-min label-propagation algorithm expressed as converging DataFrame
+joins:
+
+  label(v) starts as v's own id; each round every vertex takes the min of
+  its label and its neighbors' labels; fixpoint = components, with the
+  component id = the smallest vertex id in it (which doubles as the
+  deterministic survivor).
+
+Scale shape (the 100-TB argument):
+  * no all-pairs anywhere — each round is one equi-join edges⋈labels plus
+    one map-side-partial min aggregate, both shuffling on vertex id only
+    (edges were already produced by the banded LSH join, far smaller than
+    the corpus).
+  * rounds = graph diameter. Near-dup graphs are overwhelmingly tiny
+    cliques/chains (diameter ≤ a few), so 3-6 rounds in practice; the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014) gives O(log n) rounds for
+    adversarial chains — same join primitives, drop-in if a corpus ever
+    needs it.
+  * per-round lineage is truncated with localCheckpoint, so the plan does
+    not grow with iterations (the classic iterative-DataFrame trap).
+  * convergence detection is a single tiny agg per round: labels only
+    ever decrease, so an unchanged SUM(label) means a fixpoint — no
+    row-wise change join needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """-> (id, component): component = min vertex id reachable from id.
+
+    vertices: one row per vertex (isolated vertices allowed — they become
+    their own singleton component). edges: undirected pair list; direction
+    and duplicates don't matter (symmetrized + deduped here).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.u == labels.id)
+            .select(F.col("v").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage each round
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # labels are monotone non-increasing
+            break
+        prev_sum = new_sum
+    e.unpersist()
+    return labels
+
+
+def resolve_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    pair_a: str = "id_a", pair_b: str = "id_b", max_iter: int = 50,
+) -> DataFrame:
+    """Attach ``component`` and ``keep`` to df given near-dup pairs.
+
+    keep = (id == component): the smallest id in each cluster survives —
+    deterministic at any parallelism. Rows absent from pairs are singleton
+    components (keep = true).
+    """
+    comps = connected_components(
+        df.select(F.col(id_col).alias("id")),
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
+        max_iter=max_iter,
+    )
+    return (
+        df.join(comps, df[id_col] == comps.id)
+        .drop("id")
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
+
+
+def keep_one_per_cluster(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    pair_a: str = "id_a", pair_b: str = "id_b",
+) -> DataFrame:
+    """Survivor selection: drop every row whose cluster has a smaller id.
+
+    The full dedup pipeline is then
+      pairs = minhash_dedup_pairs(docs, ...)      # banded LSH, no all-pairs
+      deduped = keep_one_per_cluster(docs, pairs, "doc_id")
+    """
+    return resolve_clusters(df, pairs, id_col, pair_a, pair_b).filter(
+        F.col("keep")
+    ).drop("component", "keep")

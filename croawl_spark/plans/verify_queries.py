@@ -824,6 +824,27 @@ def q_stream_window_sliding(spark, sf):
     )
 
 
+def q_dedup_cluster(spark, sf):
+    """Near-dup cluster resolution (connected components + survivor pick)
+    over planted chain edges: key k links to k+1 unless k % 5 == 0, so the
+    graph is chains of 5 (diameter 4 — genuinely exercises transitive
+    closure, not just clique collapse). component = min id reachable;
+    keep = survivor flag. Oracle = DuckDB recursive CTE."""
+    from croawl_spark.operators.cluster import connected_components
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    verts = c.select(F.col("c_custkey").alias("id"))
+    edges = (
+        c.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+        .select(F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst"))
+        .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+    comps = connected_components(verts, edges)
+    return comps.select(
+        "id", "component", (F.col("id") == F.col("component")).alias("keep")
+    )
+
+
 def q_udtf_spans(spark, sf):
     """Python UDTF (V5): span exploder with positional metadata."""
     from pyspark.sql.functions import udtf
@@ -925,6 +946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "stream_window_sliding": q_stream_window_sliding,
     "udtf_spans": q_udtf_spans,
+    "dedup_cluster": q_dedup_cluster,
 }
 
 
@@ -1253,6 +1275,20 @@ ORACLE: dict[str, str] = {
         "event_type, value FROM events) "
         "SELECT wstart, event_type, COUNT(*) AS n, "
         "CAST(SUM(FLOOR(value)) AS BIGINT) AS sum_floor FROM m GROUP BY 1, 2"
+    ),
+    # transitive closure via recursive CTE: component = min reachable id
+    "dedup_cluster": (
+        "WITH RECURSIVE e AS ("
+        "SELECT c1.c_custkey AS src, c1.c_custkey + 1 AS dst FROM customer c1 "
+        "WHERE c1.c_custkey % 5 <> 0 "
+        "AND EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = c1.c_custkey + 1)), "
+        "ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+        "reach(id, anc) AS ("
+        "SELECT c_custkey, c_custkey FROM customer "
+        "UNION "
+        "SELECT ee.dst, r.anc FROM reach r JOIN ee ON ee.src = r.id) "
+        "SELECT id, component, id = component AS keep FROM ("
+        "SELECT id, MIN(anc) AS component FROM reach GROUP BY id)"
     ),
     "udtf_spans": (
         "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, "

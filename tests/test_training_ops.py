@@ -26,6 +26,66 @@ def test_minhash_finds_planted_duplicate(spark):
     assert all(r["est_sim"] <= 1.0 for r in pairs)
 
 
+def test_cluster_resolution_planted_chain(spark):
+    """Pairs (1,2),(2,3),(3,4) + (10,11) + isolated 20 must resolve to
+    components {1,2,3,4}->1, {10,11}->10, {20}->20 — transitive closure,
+    not just clique collapse."""
+    from croawl_spark.operators.cluster import resolve_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in resolve_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False), 20: (20, True),
+    }
+
+
+def test_minhash_to_survivors_end_to_end(spark):
+    """Full dedup pipeline: planted exact dups -> LSH pairs -> clusters ->
+    keep-one-per-cluster drops exactly the planted copies."""
+    from croawl_spark.operators.cluster import keep_one_per_cluster
+    from croawl_spark.operators.minhash import minhash_dedup_pairs
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    dup1 = d.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    dup2 = d.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.95)
+    survivors = {r["doc_id"] for r in keep_one_per_cluster(corpus, pairs, "doc_id").collect()}
+    assert 3 in survivors and 100003 not in survivors and 200003 not in survivors
+    assert len(survivors) == 30  # nothing else dropped
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-hop chain (diameter 20) must still converge within max_iter and
+    without plan blowup (localCheckpoint truncates lineage per round)."""
+    from croawl_spark.operators.cluster import connected_components
+
+    n = 21
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comps = connected_components(verts, edges)
+    assert {r["component"] for r in comps.collect()} == {0}
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     from croawl_spark.operators.ann import ann_lsh_topk, cosine_expr
 
