@@ -28,8 +28,113 @@ def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
     return agg.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
-def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Exact content dedup: group by content, keep smallest id (deterministic)."""
-    return df.groupBy(content_col).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, hash_expr: F.Column | None = None
+) -> DataFrame:
+    """Exact content dedup, two-level: never ships the corpus body bytes
+    through a shuffle.
+
+      level 1: group by (xxhash64(content), length(content)) — a 12-byte
+               key — with map-side partial counts; keys with count > 1
+               (the duplicate groups, a tiny fraction of a real corpus)
+               are broadcast back as a dup-key set.
+      level 2: ONLY rows in duplicate groups re-group by (hash, len,
+               content) to confirm equality exactly — so a 64-bit hash
+               collision between different texts still yields separate
+               groups and the result is identical to GROUP BY content.
+               Singletons (the vast majority) emit (id, 1) with no
+               content shuffle at all.
+
+    At 100 TB the old single-level GROUP BY content shipped the corpus
+    body through the exchange; here the full-table exchange carries only
+    (hash, len, id) and content moves only for rows that actually have a
+    duplicate-candidate. ``hash_expr`` is injectable for collision tests.
+
+    -> (keep_id, dup_cnt): smallest id per distinct content + group size,
+    byte-identical to ``GROUP BY content`` (the oracle form).
+    """
+    h = hash_expr if hash_expr is not None else F.xxhash64(content_col)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(content_col).alias("_txt"),
+        h.alias("_h"),
+        F.length(content_col).alias("_len"),
+    )
+    dup_keys = (
+        keyed.groupBy("_h", "_len")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+        .filter(F.col("_gc") > 1)
+        .select("_h", "_len", F.lit(True).alias("_dup"))
+    )
+    # left broadcast join: dup-key set << corpus, so the corpus never
+    # shuffles here (AQE broadcasts the small side)
+    marked = keyed.join(F.broadcast(dup_keys), ["_h", "_len"], "left")
+    singles = marked.filter(F.col("_dup").isNull()).select(
+        F.col("_id").alias("keep_id"), F.lit(1).cast("long").alias("dup_cnt")
+    )
+    multi = (
+        marked.filter(F.col("_dup").isNotNull())
+        .groupBy("_h", "_len", "_txt")  # exact within-group confirmation
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+    )
+    return singles.unionByName(multi)
+
+
+def build_exact_index(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Persistable exact-dup index: one (content_hash, content_len, keep_id)
+    row per distinct content — 20 bytes/doc instead of the corpus body.
+    keep_id points at the canonical (smallest-id) copy, whose content is
+    fetched for confirmation at probe time."""
+    return (
+        df.groupBy(
+            F.xxhash64(content_col).alias("content_hash"),
+            F.length(content_col).alias("content_len"),
+            F.col(content_col).alias("_txt"),
+        )
+        .agg(F.min(id_col).alias("keep_id"))
+        .select("content_hash", "content_len", "keep_id")
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: flag each NEW row as a duplicate of the
+    existing corpus without re-reading the corpus body.
+
+      1. probe: equi-join new rows' (hash, len) against the narrow index —
+         only hash-candidate rows survive (a tiny set on a real corpus)
+      2. confirm: fetch the canonical copy's content by keep_id (an
+         id-keyed join against the corpus, touching only candidate ids)
+         and compare texts exactly, so index hash collisions cannot
+         produce false dup_of assignments
+
+    -> new_df columns + ``dup_of`` (smallest matching corpus id, null if
+    the content is genuinely new). Mirrors the crawl seen-filter pattern
+    (operators/seenfilter.py): approximate prefilter, exact confirmation.
+    """
+    probed = new_df.withColumn("_h", F.xxhash64(content_col)).withColumn(
+        "_len", F.length(content_col)
+    )
+    cand = probed.join(
+        index,
+        (F.col("_h") == index.content_hash) & (F.col("_len") == index.content_len),
+    )
+    canon = corpus.select(
+        F.col(id_col).alias("keep_id"), F.col(content_col).alias("_canon_txt")
+    )
+    confirmed = (
+        cand.join(canon, "keep_id")
+        .filter(F.col(content_col) == F.col("_canon_txt"))
+        .groupBy(F.col(id_col).alias("_nid"))
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        probed.join(confirmed, probed[id_col] == confirmed._nid, "left")
+        .drop("_nid", "_h", "_len")
     )

@@ -824,6 +824,32 @@ def q_stream_window_sliding(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental exact dedup of a NEW batch against a persisted index of
+    the existing corpus (docs < 300), probing by (xxhash64, len) with
+    exact text confirmation — never recomputing or re-shuffling the old
+    corpus body. The new batch plants 100 copies of old docs; the oracle
+    derives dup_of straight from text membership, proving the hash-index
+    probe is lossless."""
+    from croawl_spark.operators.dedup import build_exact_index, dedup_against_index
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") >= 300)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    idx = build_exact_index(old, "text", "doc_id")
+    return dedup_against_index(new, idx, old, "text", "doc_id").select(
+        "doc_id", "dup_of"
+    )
+
+
 def q_dedup_cluster(spark, sf):
     """Near-dup cluster resolution (connected components + survivor pick)
     over planted chain edges: key k links to k+1 unless k % 5 == 0, so the
@@ -947,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_sliding": q_stream_window_sliding,
     "udtf_spans": q_udtf_spans,
     "dedup_cluster": q_dedup_cluster,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -1275,6 +1302,15 @@ ORACLE: dict[str, str] = {
         "event_type, value FROM events) "
         "SELECT wstart, event_type, COUNT(*) AS n, "
         "CAST(SUM(FLOOR(value)) AS BIGINT) AS sum_floor FROM m GROUP BY 1, 2"
+    ),
+    "dedup_incremental": (
+        "WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+        "newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300 "
+        "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 100) "
+        "SELECT n.doc_id, "
+        "(SELECT MIN(o.doc_id) FROM old o WHERE o.text = n.text) AS dup_of "
+        "FROM newd n"
     ),
     # transitive closure via recursive CTE: component = min reachable id
     "dedup_cluster": (

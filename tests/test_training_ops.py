@@ -26,6 +26,84 @@ def test_minhash_finds_planted_duplicate(spark):
     assert all(r["est_sim"] <= 1.0 for r in pairs)
 
 
+def test_exact_dedup_two_level_equals_text_grouping(spark):
+    """The two-level (hash,len)->text dedup must be byte-identical to plain
+    GROUP BY text — including under planted corpus duplicates."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    got = sorted(
+        (r["keep_id"], r["dup_cnt"]) for r in exact_dedup(corpus, "text", "doc_id").collect()
+    )
+    want = sorted(
+        (r["keep_id"], r["dup_cnt"])
+        for r in corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_exact_dedup_survives_hash_collisions(spark):
+    """Inject a degenerate hash (every row collides) — the within-group
+    text confirmation must still keep distinct texts separate."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb"), (3, "aaaa"), (4, "cccc")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["keep_id"], r["dup_cnt"])
+        for r in exact_dedup(d, "text", "doc_id", hash_expr=F.lit(0)).collect()
+    )
+    assert got == [(1, 2), (2, 1), (4, 1)]
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """Level-1 plan shape: the full-corpus exchange keys on (_h, _len), the
+    dup-key set is broadcast, and no full-table exchange carries _txt."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = exact_dedup(d, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_h" in plan  # narrow level-1 shuffle key
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_incremental_dedup_matches_self_dedup(spark):
+    """Batch-2 vs persisted batch-1 index must flag exactly the rows that a
+    whole-corpus self-dedup would merge into an old doc — without touching
+    batch-1 text at probe time (index is (hash, len, keep_id) only)."""
+    import tempfile
+
+    from croawl_spark.operators.dedup import build_exact_index, dedup_against_index
+    from croawl_spark.sources.tableio import TableIO
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 300)
+    new = d.filter(F.col("doc_id") >= 300).unionByName(
+        d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 9000).alias("doc_id"), "text"
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        io = TableIO(spark, tmp)
+        io.write_snapshot(build_exact_index(old, "text", "doc_id"), "exact_index", 0)
+        io.commit_cycle(0, ["exact_index"])
+        idx = io.read_snapshot("exact_index")  # persisted, batch-1 not recomputed
+        out = dedup_against_index(new, idx, old, "text", "doc_id").collect()
+    dup_of = {r["doc_id"]: r["dup_of"] for r in out}
+    assert len(dup_of) == new.count()
+    for i in range(40):  # planted copies point at their originals
+        assert dup_of[9000 + i] == i
+    assert all(v is None for k, v in dup_of.items() if k < 9000)  # no natural dups
+
+
 def test_cluster_resolution_planted_chain(spark):
     """Pairs (1,2),(2,3),(3,4) + (10,11) + isolated 20 must resolve to
     components {1,2,3,4}->1, {10,11}->10, {20}->20 — transitive closure,
