@@ -3,13 +3,23 @@
 Everything stays JVM-side (no Python in the hot path): shingling via
 higher-order array functions, permutation hashes via ``xxhash64(shingle, p)``
 (seeded by the permutation index as a literal column), signatures via
-grouped MIN aggregates, banding via ``xxhash64`` over signature slices.
+grouped MIN aggregates collected into ONE ``array<long>`` column, banding
+via ``xxhash64`` over signature slices.
 
 Scale shape: one explode (docs x shingles), one groupBy(doc) for signatures,
 one explode (docs x bands), one self-join on (band, key) — the classic
-shingle -> minhash -> band -> bucket-join pipeline. The band join is an
-equi-join on a high-cardinality key, so it shuffles well and AQE handles
-skewed buckets (e.g. boilerplate-heavy corpora).
+shingle -> minhash -> band -> bucket-join pipeline. The band self-join is
+projected down to (id, band, key) BEFORE the shuffle: signatures are
+re-attached to the (much smaller) candidate-pair set afterwards by two
+narrow id-keyed joins, so the widest columns never ride the widest join.
+The band join is an equi-join on a high-cardinality key, so it shuffles
+well and AQE handles skewed buckets (e.g. boilerplate-heavy corpora).
+
+Incremental path: ``minhash_signature`` output is the persistable index
+(one array<long> row per doc — ~136 B at n_perm=16); a new batch probes it
+with ``incremental_minhash_pairs`` — band keys for the old corpus are
+re-derived from the stored signatures (16 JVM hashes/doc, no re-shingling
+of old text) and only the new batch pays the shingle+minhash cost.
 """
 
 from __future__ import annotations
@@ -30,14 +40,48 @@ def shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, k: int = 3
 ) -> DataFrame:
-    """-> (id_col, h0..h{n_perm-1}) MinHash signature per document."""
+    """-> (id_col, sig: array<long>[n_perm]) MinHash signature per document.
+
+    This is also the persistable dedup index (write it with TableIO and
+    probe later batches against it)."""
     ex = shingles(df, text_col, k).select(
         id_col, F.explode("shingles").alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}") for p in range(n_perm)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    mins = [F.min(F.xxhash64("shingle", F.lit(p))) for p in range(n_perm)]
+    return ex.groupBy(id_col).agg(F.array(*mins).alias("sig"))
+
+
+def _band_structs(n_perm: int, n_bands: int) -> F.Column:
+    """array<struct<band,key>> derived from the ``sig`` array column."""
+    rows = n_perm // n_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+                    F.lit(b),
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def band_keys(
+    sig: DataFrame, id_col: str, n_perm: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(id, sig) -> (id, band, key): the narrow projection that rides the
+    LSH bucket join (12 B of key per row instead of the full signature)."""
+    return sig.select(
+        id_col, F.explode(_band_structs(n_perm, n_bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def _est_sim(n_perm: int) -> F.Column:
+    """Fraction of equal components of sig_a/sig_b (unbiased Jaccard est)."""
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(n_perm))
 
 
 def lsh_candidate_pairs(
@@ -45,23 +89,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and self-join: pairs sharing >=1 band bucket.
 
-    -> (id_a, id_b, est_sim) with id_a < id_b; est_sim = fraction of equal
-    signature components (unbiased Jaccard estimate).
+    -> (id_a, id_b, est_sim) with id_a < id_b. The self-join ships only
+    (id, band, key); signatures re-attach to the deduped candidate pairs
+    via two narrow id-keyed joins (pairs << corpus, so these joins are
+    broadcast-able and the signature table crosses the wire once per doc,
+    not 2 x n_bands times).
     """
-    rows = n_perm // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b)).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), *[F.col(f"h{p}") for p in range(n_perm)],
-        F.explode(bands).alias("bk"),
-    ).select(id_col, *[f"h{p}" for p in range(n_perm)], "bk.band", "bk.key")
+    banded = band_keys(sig, id_col, n_perm, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -73,15 +107,16 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[
-                (F.col(f"a.h{p}") == F.col(f"b.h{p}")).cast("int").alias(f"eq{p}")
-                for p in range(n_perm)
-            ],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = sum(F.col(f"eq{p}") for p in range(n_perm)) / F.lit(float(n_perm))
-    return pairs.select("id_a", "id_b", est.alias("est_sim"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", _est_sim(n_perm).alias("est_sim"))
+    )
 
 
 def minhash_dedup_pairs(
@@ -97,3 +132,47 @@ def minhash_dedup_pairs(
     return lsh_candidate_pairs(sig, id_col, n_perm, n_bands).filter(
         F.col("est_sim") >= threshold
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against a persisted signature index
+    (plus within-batch self pairs) — the old corpus text is never touched.
+
+    -> (id_a, id_b, est_sim): id_a from the index for cross pairs (old ids
+    assumed disjoint from new ids), plus new-vs-new pairs. Matches the
+    whole-corpus self-dedup restricted to pairs involving a new doc,
+    because signatures/band keys are identical deterministic functions.
+    """
+    new_sig = minhash_signature(new_df, id_col, text_col, n_perm, k)
+    nb = band_keys(new_sig, id_col, n_perm, n_bands).select(
+        F.col(id_col).alias("_nid"), "band", "key"
+    )
+    ob = band_keys(index_sig, id_col, n_perm, n_bands).select(
+        F.col(id_col).alias("_oid"), "band", "key"
+    )
+    cross = (
+        nb.join(ob, ["band", "key"])
+        .select(F.col("_oid").alias("id_a"), F.col("_nid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = index_sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = new_sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    cross_scored = (
+        cross.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", _est_sim(n_perm).alias("est_sim"))
+        .filter(F.col("est_sim") >= threshold)
+    )
+    self_pairs = lsh_candidate_pairs(new_sig, id_col, n_perm, n_bands).filter(
+        F.col("est_sim") >= threshold
+    )
+    return cross_scored.unionByName(self_pairs)

@@ -104,6 +104,49 @@ def test_incremental_dedup_matches_self_dedup(spark):
     assert all(v is None for k, v in dup_of.items() if k < 9000)  # no natural dups
 
 
+def test_incremental_minhash_matches_self_dedup(spark):
+    """Batch-2 probed against batch-1's PERSISTED signature index (batch-1
+    text never re-shingled) must equal the whole-corpus self-dedup
+    restricted to pairs that involve a new doc."""
+    import tempfile
+
+    from croawl_spark.operators.minhash import (
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+        minhash_signature,
+    )
+    from croawl_spark.sources.tableio import TableIO
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 200)
+    new = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260)).unionByName(
+        d.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        io = TableIO(spark, tmp)
+        io.write_snapshot(minhash_signature(old, "doc_id", "text"), "minhash_sig", 0)
+        io.commit_cycle(0, ["minhash_sig"])
+        idx = io.read_snapshot("minhash_sig")
+        inc = {
+            (r["id_a"], r["id_b"], r["est_sim"])
+            for r in incremental_minhash_pairs(
+                new, idx, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"], r["est_sim"])
+        for r in minhash_dedup_pairs(
+            old.unionByName(new), "doc_id", "text", threshold=0.5
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == full
+    assert any(a < 20 and b >= 300000 for a, b, _ in inc)  # planted copies found
+
+
 def test_cluster_resolution_planted_chain(spark):
     """Pairs (1,2),(2,3),(3,4) + (10,11) + isolated 20 must resolve to
     components {1,2,3,4}->1, {10,11}->10, {20}->20 — transitive closure,
