@@ -145,19 +145,20 @@ def q_join_theta(spark, sf):
 
 def q_join_asof_emul(spark, sf):
     """As-of join (J6): for each event, latest order of that customer with
-    o_orderdate <= ts; emulated as range-join + window rank (no native
-    as-of in OSS Spark)."""
+    o_orderdate <= ts. Runs the map-side-collapsing max_by aggregate form
+    (operators/asof.py) against the window-form oracle — the per-key match
+    explosion collapses before the exchange instead of riding a window."""
+    from croawl_spark.operators.asof import asof_join
+
     e, o = _t(spark, sf, "events"), _t(spark, sf, "orders")
-    j = e.join(
-        o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
-    )
-    return (
-        j.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    return asof_join(
+        e,
+        o,
+        on=(e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+        left_key="event_id",
+        pick="o_orderkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        alias="asof_orderkey",
     )
 
 

@@ -58,6 +58,49 @@ def test_first_wins_uses_partial_min_by(spark):
     assert "Window" not in p  # the whole point: no full-row window shuffle
 
 
+def test_asof_join_collapses_before_shuffle(spark):
+    """J6 aggregate form: no Window anywhere, and the max_by aggregate has
+    a partial phase — the per-key match explosion collapses map-side."""
+    from croawl_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    df = asof_join(
+        e, o,
+        on=(e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+        left_key="event_id", pick="o_orderkey",
+        order_by=["o_orderdate", "o_orderkey"], alias="asof_orderkey",
+    )
+    p = _plan(spark, df)
+    assert "Window" not in p
+    assert "max_by" in p and p.count("Aggregate") >= 2  # partial + final
+
+
+def test_asof_join_equals_window_form(spark):
+    from pyspark.sql import Window
+
+    from croawl_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    agg = asof_join(
+        e, o,
+        on=(e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+        left_key="event_id", pick="o_orderkey",
+        order_by=["o_orderdate", "o_orderkey"], alias="asof_orderkey",
+    )
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    win = (
+        j.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1")
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+    assert agg.exceptAll(win).count() == 0 and win.exceptAll(agg).count() == 0
+
+
 def test_extract_path_has_no_shuffle(spark):
     """§3.2: scan -> mapInPandas -> result must be exchange-free."""
     from croawl_spark.plans.extract import extract_metadata
