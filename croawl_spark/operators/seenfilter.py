@@ -35,6 +35,13 @@ from croawl_spark.tables import SEEN_FILTER
 K_HASHES = 5
 
 
+def projected_fp(n_items: int, m_bits: int) -> float:
+    """Bloom FP estimate for n_items in an m_bits bucket with K_HASHES
+    probes — the auto-sizing signal (plans/cycle.py doubles m_bits and
+    rebuilds when this crosses cfg.fp_max)."""
+    return (1.0 - math.exp(-K_HASHES * max(n_items, 1) / m_bits)) ** K_HASHES
+
+
 def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
     """(n, K) probe positions for int64 hashes, vectorized."""
     u = hashes.astype(np.uint64)
@@ -186,40 +193,67 @@ class _CuckooTable:
 def build_cuckoo_filter(
     seen: DataFrame, n_buckets: int = 64, m_slots: int = 1 << 12,
     existing: DataFrame | None = None, deletes: DataFrame | None = None,
+    seen_seq: str | None = None, deletes_seq: str | None = None,
 ) -> DataFrame:
     """Per-bucket cuckoo filter over seen(url_hash); supports incremental
-    inserts (``seen`` delta + ``existing``) and deletions (``deletes``)."""
+    inserts (``seen`` delta + ``existing``) and deletions (``deletes``).
+
+    Operation ORDER within a delta: pass ``seen_seq``/``deletes_seq``
+    (column names carrying a shared logical sequence) to apply interleaved
+    insert/delete ops in that order — required when one delta both deletes
+    and re-inserts the same hash. Without them, all inserts apply before
+    all deletes (delete wins an insert+delete pair).
+
+    Eviction-chain OVERFLOW (insert returns False) RAISES: a silently
+    dropped item would be a false negative — the documented
+    'no false negatives for present items' guarantee — and would also
+    corrupt n_items. Size m_slots for <= ~95% load (capacity ~= 0.95 *
+    m_slots * 4 per bucket) or grow n_buckets; the error message carries
+    the load so the caller can re-geometry and rebuild.
+    """
 
     def _merge(key, new_pdf: pd.DataFrame, old_pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
         blob = old_pdf["bits"].iloc[0] if len(old_pdf) else None
         n_old = int(old_pdf["n_items"].iloc[0]) if len(old_pdf) else 0
         ck = _CuckooTable(m_slots, blob)
-        ins = new_pdf[new_pdf["op"] == 1]["url_hash"].to_numpy(dtype=np.int64)
-        dels = new_pdf[new_pdf["op"] == 0]["url_hash"].to_numpy(dtype=np.int64)
-        for h in ins:
-            ck.insert(int(h))
-        n_del = 0
-        for h in dels:
-            n_del += int(ck.delete(int(h)))
-        n = n_old + len(ins) - n_del
+        ordered = new_pdf.sort_values("seq", kind="stable")
+        n_ins = n_del = 0
+        for h, op in zip(ordered["url_hash"], ordered["op"]):
+            if op == 1:
+                if not ck.insert(int(h)):
+                    raise RuntimeError(
+                        f"cuckoo bucket {bucket} overflow at load "
+                        f"{n_old + n_ins}/{m_slots * _CK_SLOTS} slots: "
+                        "resize m_slots/n_buckets and rebuild"
+                    )
+                n_ins += 1
+            else:
+                n_del += int(ck.delete(int(h)))
+        n = n_old + n_ins - n_del
         fp_rate = 2.0 * _CK_SLOTS / (1 << 16)
         return pd.DataFrame(
             {"bucket": [bucket], "kind": ["cuckoo"], "bits": [ck.t.tobytes()],
              "n_items": [n], "fp_rate": [fp_rate]}
         )
 
+    ins_seq = F.col(seen_seq).cast("long") if seen_seq else F.lit(0).cast("long")
     delta = seen.select(
         F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"),
         "url_hash",
         F.lit(1).alias("op"),
+        ins_seq.alias("seq"),
     )
     if deletes is not None:
+        del_seq = (
+            F.col(deletes_seq).cast("long") if deletes_seq else F.lit(1).cast("long")
+        )
         delta = delta.unionByName(
             deletes.select(
                 F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"),
                 "url_hash",
                 F.lit(0).alias("op"),
+                del_seq.alias("seq"),
             )
         )
     if existing is None:

@@ -77,7 +77,8 @@ class CrawlConfig:
     k_per_host: int = 2          # politeness budget: fetches per host per cycle
     n_salt: int = 8              # W1 skew salt
     n_buckets: int = 64          # seen_filter buckets (scale: O(millions))
-    m_bits: int = 1 << 15        # bloom bits per bucket (fixed per deployment)
+    m_bits: int = 1 << 15        # bloom bits per bucket (auto-doubled, see fp_max)
+    fp_max: float = 0.05         # rebuild the filter when projected FP crosses this
     use_filter: bool = True
     shuffle_partitions: int | None = None
 
@@ -237,10 +238,18 @@ def bootstrap(
     if cfg.use_filter:
         filt = build_filter(seen, cfg.n_buckets, cfg.m_bits)
         io.write_snapshot(filt, "seen_filter", -1)
+    counters = {"total_fetches": 0, "next_disc_seq": int(n_seeds)}
+    if cfg.use_filter:
+        # filter GEOMETRY is part of the committed state: blobs are only
+        # probeable under the (n_buckets, m_bits) they were built with, so
+        # a resume with different config must trigger a rebuild, never a
+        # silent mis-probe (bloom false negatives = refetch storms)
+        counters["filter_n_buckets"] = cfg.n_buckets
+        counters["filter_m_bits"] = cfg.m_bits
     io.commit_cycle(
         -1,
         ["frontier", "seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []),
-        counters={"total_fetches": 0, "next_disc_seq": int(n_seeds)},
+        counters=counters,
     )
     frontier.unpersist()
     host_state.unpersist()
@@ -286,6 +295,19 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     host_state = io.read_snapshot("host_state", cycle - 1)
     filt = io.read_snapshot("seen_filter", cycle - 1) if cfg.use_filter else None
 
+    # filter geometry comes from the COMMITTED counters, not cfg: bit blobs
+    # are only probeable under the geometry they were built with. A resume
+    # under different cfg rebuilds from the exact seen log (O(seen), rare)
+    # instead of silently mis-probing (bloom false negatives -> refetches).
+    counters = io.counters()
+    geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
+    geo_m = int(counters.get("filter_m_bits", cfg.m_bits))
+    if cfg.use_filter and (geo_buckets != cfg.n_buckets or geo_m < cfg.m_bits):
+        # (committed m_bits LARGER than cfg is fine — that's the auto-sizer
+        # having grown a new generation; keep it, don't shrink-thrash)
+        geo_buckets, geo_m = cfg.n_buckets, cfg.m_bits
+        filt = build_filter(seen, geo_buckets, geo_m)
+
     # due-time gate (J2 broadcast join: hosts << frontier). Robots were
     # enforced at insert time — the frontier contains only allowed rows.
     hs = F.broadcast(host_state.select("host", "crawl_delay", "last_fetch_cycle"))
@@ -304,7 +326,6 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         salt_src="url_hash",
         n_salt=cfg.n_salt,
     )
-    counters = io.counters()
     fetch_base = int(counters.get("total_fetches", 0))
     batch = global_sequence(
         batch.select("canon_url", "url_hash", "host", "depth", "disc_seq"),
@@ -362,7 +383,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     )
     ded = first_wins(links, "canon_url", ["parent_fetch_seq", "link_pos"])
     if cfg.use_filter and filt is not None:
-        probed = probe_filter(ded, filt, cfg.n_buckets, cfg.m_bits)
+        probed = probe_filter(ded, filt, geo_buckets, geo_m)
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(seen, ["url_hash", "canon_url"], "left_anti")
@@ -411,21 +432,30 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     )
     frontier_next = remaining.unionByName(_filter_allowed(new_rows, host_state_next))
 
-    # 7. metrics (per hash-bucket lineage) + checkpoint commit
+    # 7. metrics (per hash-bucket lineage) + checkpoint commit.
+    # urls_scheduled/urls_parsed/spans_parsed are genuinely PER BUCKET (sum
+    # across partition_id = cycle totals); wall_ms is cycle-scoped and
+    # repeated per row — aggregate it with max(), never sum() — and is also
+    # committed as the last_cycle_wall_ms counter.
     _cycle_wall_ms = int((_time.perf_counter() - _cycle_start) * 1000)
     n_sched = batch.count()
     n_parsed_df = parsed.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("n_spans"), F.lit(0)).alias("s")
     ).collect()[0]
+    _bucket = F.pmod("url_hash", F.lit(geo_buckets)).cast("int").alias("partition_id")
+    sched_b = batch.groupBy(_bucket).agg(F.count(F.lit(1)).alias("urls_scheduled"))
+    parsed_b = parsed.groupBy(_bucket).agg(
+        F.count(F.lit(1)).alias("urls_parsed"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("spans_parsed"),
+    )
     metrics = (
-        batch.groupBy(F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("urls_scheduled"))
+        sched_b.join(parsed_b, "partition_id", "full")
         .select(
             F.lit(cycle).cast("int").alias("cycle"),
             "partition_id",
-            "urls_scheduled",
-            F.lit(int(n_parsed_df["n"])).cast("long").alias("urls_parsed"),
-            F.lit(int(n_parsed_df["s"])).cast("long").alias("spans_parsed"),
+            F.coalesce("urls_scheduled", F.lit(0)).cast("long").alias("urls_scheduled"),
+            F.coalesce("urls_parsed", F.lit(0)).cast("long").alias("urls_parsed"),
+            F.coalesce("spans_parsed", F.lit(0)).cast("long").alias("spans_parsed"),
             F.lit(_cycle_wall_ms).cast("long").alias("wall_ms"),
             F.concat(F.lit(f"{cycle}:"), F.col("partition_id")).alias("lineage_ref"),
         )
@@ -448,20 +478,38 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         "fetch_log", "documents", "metadata", "metrics",
         "frontier", "seen", "host_state",
     ]
+    new_counters = {
+        "total_fetches": fetch_base + n_sched,
+        "next_disc_seq": seen_base + int(n_new),
+        "last_cycle_wall_ms": _cycle_wall_ms,
+    }
     if cfg.use_filter:
-        delta = new_rows.select("url_hash")
-        filt_next = build_filter(delta, cfg.n_buckets, cfg.m_bits, existing=filt)
+        # auto-sizing: m_bits is fixed per filter generation (incremental
+        # OR-merges require it), so when the committed load pushes the
+        # projected FP past fp_max we START A NEW GENERATION — double
+        # m_bits until under target and rebuild from the exact seen log.
+        # FP never affects crawl output (exact anti-join erases it); this
+        # bounds the wasted anti-join probe volume as the corpus grows.
+        from croawl_spark.operators.seenfilter import projected_fp
+
+        total_seen = seen_base + int(n_new)
+        per_bucket = -(-total_seen // geo_buckets)  # ceil
+        resized = False
+        while projected_fp(per_bucket, geo_m) > cfg.fp_max:
+            geo_m *= 2
+            resized = True
+        if resized:
+            all_seen = seen.unionByName(seen_delta).select("url_hash")
+            filt_next = build_filter(all_seen, geo_buckets, geo_m)
+        else:
+            delta = new_rows.select("url_hash")
+            filt_next = build_filter(delta, geo_buckets, geo_m, existing=filt)
         io.write_snapshot(filt_next, "seen_filter", cycle)
-        _mark("bloom rebuild")
+        _mark("bloom rebuild" + (" (resized)" if resized else ""))
         committed.append("seen_filter")
-    io.commit_cycle(
-        cycle,
-        committed,
-        counters={
-            "total_fetches": fetch_base + n_sched,
-            "next_disc_seq": seen_base + int(n_new),
-        },
-    )
+        new_counters["filter_n_buckets"] = geo_buckets
+        new_counters["filter_m_bits"] = geo_m
+    io.commit_cycle(cycle, committed, counters=new_counters)
     for df in (fetched, host_state_next):
         df.unpersist()
     return {"cycle": cycle, "scheduled": n_sched, "parsed": int(n_parsed_df["n"]),

@@ -111,6 +111,47 @@ def test_bloom_filter_off_same_result(spark):
     assert a == b
 
 
+def test_filter_autosize_rebuilds_and_restores_fp(spark):
+    """Drive the bloom filter past its design load: the auto-sizer must
+    start a new generation (m_bits doubled in the committed counters),
+    restore projected FP under fp_max, and never change crawl output."""
+    from croawl_spark.operators.seenfilter import projected_fp
+
+    seeds = synth.gen_seeds(80)
+    tiny = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=4, m_bits=1 << 8, fp_max=0.05)
+    off = CrawlConfig(k_per_host=2, n_salt=4, use_filter=False)
+    with tempfile.TemporaryDirectory() as d:
+        io = run_crawl(spark, seeds, 3, f"{d}/tiny", tiny)
+        want = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/off", off))
+        got = _spark_log_rows(io)
+        counters = io.counters()
+        m_committed = counters["filter_m_bits"]
+        n_seen = io.read_log("seen").count()
+        filt = io.read_snapshot("seen_filter")
+        n_rows = filt.count()
+    assert got == want  # filter is a pure optimization, resized or not
+    assert m_committed > (1 << 8), "auto-sizer never fired"
+    per_bucket = -(-n_seen // tiny.n_buckets)
+    assert projected_fp(per_bucket, m_committed) <= tiny.fp_max
+    assert n_rows == tiny.n_buckets
+
+
+def test_resume_with_different_filter_geometry(spark):
+    """Resuming with a different --n-buckets must rebuild the filter from
+    the seen log (committed geometry wins until rebuilt), not mis-probe
+    old blobs under a new pmod — fetch_log stays byte-identical."""
+    seeds = synth.gen_seeds(60)
+    cfg_a = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12)
+    cfg_b = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=4, m_bits=1 << 10)
+    with tempfile.TemporaryDirectory() as d:
+        full = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/full", cfg_a))
+        run_crawl(spark, seeds, 2, f"{d}/part", cfg_a)
+        io_res = run_crawl(spark, seeds, 3, f"{d}/part", cfg_b, resume=True)
+        assert _spark_log_rows(io_res) == full
+        # the resumed run now owns cfg_b geometry in the committed counters
+        assert io_res.counters()["filter_n_buckets"] == 4
+
+
 def test_salted_topk_equals_plain_topk(spark):
     """W1 correctness: the salted two-phase ranking must select EXACTLY the
     rows a plain per-host window would (salt defuses skew, never changes
