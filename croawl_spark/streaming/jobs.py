@@ -51,11 +51,23 @@ def stream_crawl(
     from croawl_spark.plans.cycle import CrawlConfig, bootstrap, run_cycle
     from croawl_spark.sources.tableio import TableIO
 
+    import os
+
     cfg = cfg or CrawlConfig()
     io = TableIO(spark, base_dir)
     io.destroy()
     io = TableIO(spark, base_dir)
     bootstrap(spark, seeds, io, cfg)
+
+    # bounded tick source: one file per cycle + maxFilesPerTrigger=1 under
+    # trigger(availableNow) = exactly n_cycles micro-batches, after which
+    # the query terminates ITSELF — no driver poll loop, and Spark's own
+    # offset checkpointing tracks which ticks (cycles) already ran.
+    ticks = os.path.join(base_dir, "_ticks")
+    os.makedirs(ticks, exist_ok=True)
+    for t in range(n_cycles):
+        with open(os.path.join(ticks, f"tick_{t}.txt"), "w") as f:
+            f.write(str(t))
 
     def one_cycle(batch_df: DataFrame, batch_id: int) -> None:
         cycle = io.last_committed_cycle() + 1
@@ -64,19 +76,14 @@ def stream_crawl(
         run_cycle(spark, io, cycle, cfg)
 
     q = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 1000)
-        .load()
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(ticks)
         .writeStream.foreachBatch(one_cycle)
         .option("checkpointLocation", f"{base_dir}/_stream_ckpt")
-        .trigger(processingTime="0 seconds")
+        .trigger(availableNow=True)
         .start()
     )
-    import time
-
-    while io.last_committed_cycle() + 1 < n_cycles and q.isActive:
-        time.sleep(0.3)
-    q.stop()
     q.awaitTermination()
     return io
 
