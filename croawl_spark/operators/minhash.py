@@ -134,6 +134,69 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded LSH on the 64-bit simhash.
+
+    The 64-bit signature splits into n_bands 16-bit bands; by pigeonhole,
+    any pair within hamming distance <= n_bands - 1 shares at least one
+    unchanged band, so with the default (4 bands, max_hamming=3) the
+    candidate join has EXACT recall — identical output to the all-pairs
+    hamming filter, at bucket-join cost. Same scale shape as the minhash
+    path: the band join ships (id, band, key); signatures re-attach to
+    candidates for the exact ``bit_count(xor)`` filter (JVM built-ins).
+
+    -> (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    """
+    from croawl_spark.functions.text import simhash_udf
+
+    assert max_hamming < n_bands, "exact recall needs n_bands > max_hamming"
+    width = 64 // n_bands
+    sims = df.select(id_col, simhash_udf(F.col(text_col)).alias("sh"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sh", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sims.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sims.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def incremental_minhash_pairs(
     new_df: DataFrame,
     index_sig: DataFrame,

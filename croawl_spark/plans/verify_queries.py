@@ -652,6 +652,20 @@ def q_dedup_simhash(spark, sf):
     return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    """Banded-SimHash near-dup pairs (exact recall for hamming<=3 by
+    pigeonhole over 4 bands); rows-only (simhash is custom Python hashing)
+    — exactness vs brute-force hamming is pinned in
+    tests/test_training_ops.py::test_simhash_pairs_equal_bruteforce."""
+    from croawl_spark.operators.minhash import simhash_dedup_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    dup = d.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return simhash_dedup_pairs(d.unionByName(dup), "doc_id", "text")
+
+
 def q_doc_fingerprint(spark, sf):
     from croawl_spark.functions.text import fingerprint_udf
 
@@ -958,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_roundtrip": q_bloom_roundtrip,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -243,6 +243,44 @@ def test_simhash_properties():
     assert simhash64("") == 0
 
 
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Banded-LSH simhash pairing must EQUAL the all-pairs hamming filter
+    (pigeonhole: hamming<=3 over 4 bands cannot miss), including a planted
+    near-identical doc."""
+    from croawl_spark.functions.text import simhash_udf
+    from croawl_spark.operators.minhash import simhash_dedup_pairs
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    near = d.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(corpus, "doc_id", "text").collect()
+    }
+    sims = corpus.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    a, b = sims.alias("a"), sims.alias("b")
+    bf = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == bf
+    assert any(a_ == 7 and b_ == 100007 for a_, b_, _ in got)  # planted near-dup
+
+
 def test_rolling_fingerprint_shift_tolerance():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     shifted = "prefix " + base
