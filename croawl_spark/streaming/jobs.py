@@ -41,12 +41,18 @@ def stream_crawl(
     n_cycles: int,
     base_dir: str,
     cfg=None,
+    resume: bool = False,
 ) -> "TableIO":
-    """Run the crawl as a Structured Streaming job: a rate source ticks once
-    per micro-batch and foreachBatch executes one scheduler cycle. The cycle
-    logic is IDENTICAL to the batch path (same run_cycle), so ordering
-    equality vs the oracle carries over; the stream adds trigger scheduling
-    and double checkpointing (stream offsets + table manifest).
+    """Run the crawl as a Structured Streaming job: a bounded tick source
+    fires one micro-batch per cycle and foreachBatch executes one scheduler
+    cycle. The cycle logic is IDENTICAL to the batch path (same run_cycle),
+    so ordering equality vs the oracle carries over; the stream adds trigger
+    scheduling and double checkpointing (stream offsets + table manifest).
+
+    resume=True continues an existing warehouse: new tick files appear for
+    the not-yet-run cycles and the stream's offset checkpoint skips the
+    already-processed ones — resumability expressed in Structured
+    Streaming's own recovery model on top of TableIO's cycle manifest.
     """
     from croawl_spark.plans.cycle import CrawlConfig, bootstrap, run_cycle
     from croawl_spark.sources.tableio import TableIO
@@ -55,9 +61,10 @@ def stream_crawl(
 
     cfg = cfg or CrawlConfig()
     io = TableIO(spark, base_dir)
-    io.destroy()
-    io = TableIO(spark, base_dir)
-    bootstrap(spark, seeds, io, cfg)
+    if not resume:
+        io.destroy()
+        io = TableIO(spark, base_dir)
+        bootstrap(spark, seeds, io, cfg)
 
     # bounded tick source: one file per cycle + maxFilesPerTrigger=1 under
     # trigger(availableNow) = exactly n_cycles micro-batches, after which

@@ -54,6 +54,22 @@ def test_stream_crawl_equals_batch(spark):
     assert stream_log == batch_log
 
 
+def test_stream_crawl_resume_equals_straight_through(spark):
+    """ST1 resumability: stop the streaming crawl after 2 cycles, resume to
+    4 — the stream's offset checkpoint skips the done ticks and the result
+    equals an uninterrupted 4-cycle batch run."""
+    seeds = synth.gen_seeds(60)
+    cfg = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12)
+    cols = ["cycle", "fetch_seq", "canon_url", "host", "status", "content_kind", "bytes"]
+    with tempfile.TemporaryDirectory() as d:
+        io_b = run_crawl(spark, seeds, 4, f"{d}/batch", cfg)
+        want = [tuple(r) for r in io_b.read_log("fetch_log").orderBy("fetch_seq").select(*cols).collect()]
+        SJ.stream_crawl(spark, seeds, 2, f"{d}/stream", cfg)
+        io_s = SJ.stream_crawl(spark, seeds, 4, f"{d}/stream", cfg, resume=True)
+        got = [tuple(r) for r in io_s.read_log("fetch_log").orderBy("fetch_seq").select(*cols).collect()]
+    assert got == want
+
+
 def test_windowed_rates_stream_equals_batch(spark, events_stream):
     batch, stream = events_stream
     want = sorted(tuple(r) for r in SJ.windowed_rates(batch).collect())
