@@ -699,6 +699,18 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing (1 row -> N frame rows through one
+    Arrow crossing); rows-only — decode kernels are stubbed (no codecs in
+    container), the Spark-side fan-out shape is what's under test."""
+    from croawl_spark.operators.multimodal import sample_frames, synth_video_table
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return sample_frames(synth_video_table(d)).select(
+        "media_ref", "frame_idx", "ts_ms", F.length("frame").alias("frame_bytes")
+    )
+
+
 def q_dedup_exact_hash(spark, sf):
     """Exact dedup keyed on xxhash64(text) — at 100 TB you group by the
     64-bit hash, not the document body; the oracle groups by the text
@@ -977,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,
     "lang_id_full": q_lang_id_full,

@@ -302,6 +302,50 @@ def test_multimodal_decode_deterministic(spark):
     assert all(64 <= r[2] < 256 and r[4] > 0 for r in a)  # width, n_bytes sane
 
 
+def test_resize_images_contract(spark):
+    """Resize plumbing: deterministic, aspect-preserving, longest side
+    capped, payload binary round-trips the Arrow boundary, never upscales."""
+    from croawl_spark.operators.multimodal import (
+        decode_features,
+        resize_images,
+        synth_media_table,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 40)
+    media = synth_media_table(d)
+    orig = {r["media_ref"]: (r["width"], r["height"]) for r in decode_features(media).collect()}
+    a = sorted(tuple(r) for r in resize_images(media, max_dim=100).collect())
+    b = sorted(tuple(r) for r in resize_images(media, max_dim=100).collect())
+    assert a == b  # deterministic
+    for ref, kind, payload, ctype, w, h in a:
+        ow, oh = orig[ref]
+        assert max(w, h) <= 100 and w >= 1 and h >= 1
+        assert w <= ow and h <= oh  # never upscaled
+        assert abs(w / h - ow / oh) < 0.1  # aspect preserved
+        assert isinstance(payload, (bytes, bytearray)) and len(payload) >= 16
+
+
+def test_sample_frames_fan_out(spark):
+    """Frame sampling: 1 video row -> N frame rows through one Arrow
+    crossing; frame count tracks the fake duration; deterministic."""
+    from croawl_spark.operators.multimodal import sample_frames, synth_video_table
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 30)
+    vids = synth_video_table(d)
+    frames = sample_frames(vids, every_ms=1000)
+    a = sorted(tuple(r) for r in frames.collect())
+    assert a == sorted(tuple(r) for r in sample_frames(vids, every_ms=1000).collect())
+    n_vids = vids.count()
+    per_vid = {}
+    for ref, idx, ts, payload in a:
+        per_vid.setdefault(ref, []).append((idx, ts))
+        assert ts == idx * 1000 and len(payload) >= 1
+    assert len(per_vid) == n_vids
+    assert any(len(v) > 1 for v in per_vid.values())  # real fan-out happens
+    for v in per_vid.values():  # contiguous frame indices from 0
+        assert sorted(i for i, _ in v) == list(range(len(v)))
+
+
 def test_decode_real_is_explicit_stub():
     import pytest as _pytest
 
