@@ -60,20 +60,19 @@ def exact_dedup(
         h.alias("_h"),
         F.length(content_col).alias("_len"),
     )
-    dup_keys = (
-        keyed.groupBy("_h", "_len")
-        .agg(F.count(F.lit(1)).alias("_gc"))
-        .filter(F.col("_gc") > 1)
-        .select("_h", "_len", F.lit(True).alias("_dup"))
+    lvl1 = keyed.groupBy("_h", "_len").agg(
+        F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("_gc")
     )
-    # left broadcast join: dup-key set << corpus, so the corpus never
-    # shuffles here (AQE broadcasts the small side)
-    marked = keyed.join(F.broadcast(dup_keys), ["_h", "_len"], "left")
-    singles = marked.filter(F.col("_dup").isNull()).select(
-        F.col("_id").alias("keep_id"), F.lit(1).cast("long").alias("dup_cnt")
+    # singleton groups are fully answered by the narrow aggregate — their
+    # keep_id IS the row id and dup_cnt = 1; no row-level revisit at all
+    singles = lvl1.filter(F.col("_gc") == 1).select(
+        "keep_id", F.lit(1).cast("long").alias("dup_cnt")
     )
+    dup_keys = lvl1.filter(F.col("_gc") > 1).select("_h", "_len")
+    # broadcast semi-join: dup-key set << corpus, so the second corpus
+    # pass shuffles only rows that actually have a duplicate-candidate
     multi = (
-        marked.filter(F.col("_dup").isNotNull())
+        keyed.join(F.broadcast(dup_keys), ["_h", "_len"], "left_semi")
         .groupBy("_h", "_len", "_txt")  # exact within-group confirmation
         .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
         .select("keep_id", "dup_cnt")
