@@ -452,6 +452,33 @@ def q_text_quality(spark, sf):
     )
 
 
+_QUALITY_STOPS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def q_text_quality_full(spark, sf):
+    """Richer quality features (training-data filtering): stopword ratio
+    (NON-distinct token count), punctuation density, uppercase density,
+    mean word length — integer-floored to milli/centi units so both
+    engines are bit-exact."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stops = F.array(*[F.lit(s) for s in _QUALITY_STOPS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    tlen = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    nonspace = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(F.lit(1000) * n_stop / n_tok).cast("long").alias("stop_milli"),
+        F.floor(F.lit(1000) * n_punct / tlen).cast("long").alias("punct_milli"),
+        F.floor(F.lit(1000) * n_upper / tlen).cast("long").alias("upper_milli"),
+        F.floor(F.lit(100) * nonspace / n_tok).cast("long").alias("wlen_centi"),
+    )
+
+
 def q_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -973,6 +1000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window": q_stream_window,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
+    "text_quality_full": q_text_quality_full,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "dedup_ngram": q_dedup_ngram,
@@ -1180,6 +1208,20 @@ ORACLE: dict[str, str] = {
         "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
         "CAST(FLOOR(100.0 * LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) "
         "/ LENGTH(text)) AS BIGINT) AS alpha_pct FROM documents"
+    ),
+    "text_quality_full": (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+        "CAST(FLOOR(1000.0 * len(list_filter(toks, x -> list_contains("
+        "['the','a','of','and','in','to','is'], x))) / len(toks)) AS BIGINT) "
+        "AS stop_milli, "
+        "CAST(FLOOR(1000.0 * LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
+        "/ LENGTH(text)) AS BIGINT) AS punct_milli, "
+        "CAST(FLOOR(1000.0 * LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) "
+        "/ LENGTH(text)) AS BIGINT) AS upper_milli, "
+        "CAST(FLOOR(100.0 * LENGTH(replace(text, ' ', '')) / len(toks)) AS BIGINT) "
+        "AS wlen_centi FROM t"
     ),
     "token_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, "
