@@ -75,10 +75,58 @@ def cosine_expr(a: str, b: str) -> F.Column:
 
 
 def _explode_tables(df: DataFrame, prefix: str) -> DataFrame:
+    """(id, buckets) -> (prefix_id, table, bucket): the NARROW projection
+    that rides the bucket join — vectors re-attach to the (much smaller)
+    candidate set afterwards via id-keyed joins (same slimming as the
+    minhash band join)."""
     return df.select(
         F.col("id").alias(f"{prefix}_id"),
-        F.col("vec").alias(f"{prefix}_vec"),
         F.posexplode("buckets").alias("table", "bucket"),
+    )
+
+
+def embed_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int = 64,
+    n_planes: int = 5,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at scale: hyperplane-LSH bucket
+    self-join replaces the quadratic all-pairs scan, exact cosine confirms
+    candidates (so no false positives ever — only probabilistic recall).
+
+    Recall: a pair at angle theta collides in one table with p^n_planes,
+    p = 1 - theta/pi; P(found) = 1-(1-p^b)^T. At the defaults and
+    cosine >= 0.85 that is ~99.7%; exact duplicates (cosine 1.0) hash to
+    identical buckets in every table, so they are ALWAYS found. The bucket
+    self-join ships (id, table, bucket) only; vectors re-attach to the
+    deduped candidate pairs via two narrow id joins.
+
+    -> (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold. Feed
+    into operators/cluster.keep_one_per_cluster to actually drop rows.
+    """
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    ex = _explode_tables(
+        with_lsh_buckets(base, "vec", dim, n_planes, n_tables), "x"
+    )
+    a = ex.select(F.col("x_id").alias("id_a"), "table", "bucket")
+    b = ex.select(F.col("x_id").alias("id_b"), "table", "bucket")
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -198,27 +246,25 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: multi-table bucket join -> distinct candidate
     pairs -> exact cosine re-rank."""
+    cands = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qs = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     vb = _explode_tables(
-        with_lsh_buckets(
-            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-            "vec", dim, n_planes, n_tables,
-        ),
-        "cand",
+        with_lsh_buckets(cands, "vec", dim, n_planes, n_tables), "cand"
     )
     qb = _explode_tables(
-        with_lsh_buckets(
-            queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-            "vec", dim, n_planes, n_tables,
-        ),
-        "query",
+        with_lsh_buckets(qs, "vec", dim, n_planes, n_tables), "query"
     )
     pairs = (
         qb.join(vb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "query_vec", "cand_id", "cand_vec")
+        .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = pairs.withColumn("cosine", cosine_expr("query_vec", "cand_vec"))
+    scored = (
+        pairs.join(qs.select(F.col("id").alias("query_id"), F.col("vec").alias("query_vec")), "query_id")
+        .join(cands.select(F.col("id").alias("cand_id"), F.col("vec").alias("cand_vec")), "cand_id")
+        .withColumn("cosine", cosine_expr("query_vec", "cand_vec"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -716,6 +716,21 @@ def q_ann_ivf(spark, sf):
     return ann_ivf_topk(e.filter(F.col("vec_id") >= 5), qs, k=5)
 
 
+def q_dedup_embed_lsh(spark, sf):
+    """Embedding near-dup pairs, scale path: hyperplane-LSH bucket
+    self-join + exact cosine confirm (rows-only: candidate generation is
+    probabilistic; no-false-positive and planted-dup recall are pinned in
+    tests/test_training_ops.py::test_embed_dedup_pairs_lsh). A planted
+    exact-duplicate vector guarantees non-empty output."""
+    from croawl_spark.operators.ann import embed_dedup_pairs
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    dup = e.filter(F.col("vec_id") == 11).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return embed_dedup_pairs(e.unionByName(dup), threshold=0.5)
+
+
 def q_multimodal_features(spark, sf):
     from croawl_spark.operators.multimodal import decode_features, synth_media_table
 
@@ -1020,6 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,
+    "dedup_embed_lsh": q_dedup_embed_lsh,
     "lang_id_full": q_lang_id_full,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_pivot": q_agg_pivot,

@@ -355,6 +355,38 @@ def test_decode_real_is_explicit_stub():
         decode_real(b"\x89PNG")
 
 
+def test_embed_dedup_pairs_lsh(spark):
+    """LSH embedding near-dup pairs: never a false positive (exact cosine
+    confirm), planted exact dup always found (identical buckets in every
+    table), and recall vs bounded brute force meets a deterministic floor."""
+    from croawl_spark.operators.ann import cosine_expr, embed_dedup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 150)
+    dup = e.filter(F.col("vec_id") == 11).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(dup)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embed_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    a, b = corpus.alias("a"), corpus.alias("b")
+    bf = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+        .collect()
+    }
+    assert set(got) <= set(bf)  # exact confirm => no false positives
+    assert (11, 100011) in got and abs(got[(11, 100011)] - 1.0) < 1e-9
+    assert len(got) >= len(bf) // 2, f"recall {len(got)}/{len(bf)}"  # det. floor
+
+
 def test_ann_ivf_recall_and_determinism(spark):
     from croawl_spark.operators.ann import ann_ivf_topk, cosine_expr
 
