@@ -114,6 +114,37 @@ def test_extract_path_has_no_shuffle(spark):
     assert "Exchange" not in p
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """The production layout story (Iceberg bucket(N, url_hash), SURVEY
+    §1.2): two tables bucketed+sorted on the join key must join with NO
+    Exchange on either input — storage-side co-partitioning replaces the
+    shuffle. This is the plan the frontier⋈seen anti-join gets on a real
+    warehouse."""
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_name")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS _bt_cust")
+    spark.sql("DROP TABLE IF EXISTS _bt_ord")
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", str(tmp_path / "bt_cust")).saveAsTable("_bt_cust"))
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", str(tmp_path / "bt_ord")).saveAsTable("_bt_ord"))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the shuffle-join path is what's under test
+        # (at 10^10 rows neither side broadcasts anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc = spark.table("_bt_cust")
+        bo = spark.table("_bt_ord")
+        j = bc.join(bo, bc.c_custkey == bo.o_custkey)
+        plan = _plan(spark, j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS _bt_cust")
+        spark.sql("DROP TABLE IF EXISTS _bt_ord")
+
+
 def test_whole_stage_codegen_in_relational_path(spark):
     # AQE hides codegen spans in 'formatted' mode pre-execution; 'codegen'
     # mode reports the generated subtrees directly
