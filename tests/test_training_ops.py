@@ -193,6 +193,43 @@ def test_minhash_to_survivors_end_to_end(spark):
     assert len(survivors) == 30  # nothing else dropped
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs (cycles, self-loops, multi-edges, isolated
+    vertices) vs a pure-python union-find oracle."""
+    import random
+
+    from croawl_spark.operators.cluster import connected_components
+
+    for seed, n, m in ((1, 60, 40), (2, 80, 120), (3, 30, 300)):
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {}
+        for v in range(n):
+            root = find(v)
+            want.setdefault(root, []).append(v)
+        expect = {v: min(members) for members in want.values() for v in members}
+
+        verts = spark.range(n).select(F.col("id"))
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(verts, e_df).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 20-hop chain (diameter 20) must still converge within max_iter and
     without plan blowup (localCheckpoint truncates lineage per round)."""
