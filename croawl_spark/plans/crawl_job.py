@@ -29,6 +29,10 @@ def main() -> None:
                     help="continue from the last committed cycle")
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--m-bits", type=int, default=1 << 15,
+                    help="bloom bits per bucket (auto-doubled past --fp-max)")
+    ap.add_argument("--fp-max", type=float, default=0.05,
+                    help="rebuild the seen-filter when projected FP crosses this")
     ap.add_argument("--no-filter", action="store_true", help="disable bloom prefilter")
     args = ap.parse_args()
 
@@ -42,6 +46,8 @@ def main() -> None:
         k_per_host=args.budget,
         n_salt=args.n_salt,
         n_buckets=args.n_buckets,
+        m_bits=args.m_bits,
+        fp_max=args.fp_max,
         use_filter=not args.no_filter,
     )
     io = TableIO(spark, args.warehouse)

@@ -488,6 +488,21 @@ def q_token_count(spark, sf):
     )
 
 
+def q_vocab_df(spark, sf):
+    """Corpus vocabulary by document frequency (training-pipeline staple:
+    vocab building / rare-token filtering). explode(distinct tokens) ->
+    groupBy token with map-side partial counts — the shuffle carries
+    (token, partial_count), never documents. Top-100 under a total order."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("tok"))
+        .limit(100)
+    )
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "in")])
@@ -1018,6 +1033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_full": q_text_quality_full,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
+    "vocab_df": q_vocab_df,
     "dedup_ngram": q_dedup_ngram,
     "ann_cosine": q_ann_cosine,
     "span_extract": q_span_extract,
@@ -1250,6 +1266,12 @@ ORACLE: dict[str, str] = {
         "CASE WHEN len(list_intersect(string_split(text, ' '), "
         "['the','a','of','and','in'])) >= 1 THEN 'en' ELSE 'unk' END AS pred_lang "
         "FROM documents"
+    ),
+    "vocab_df": (
+        "SELECT tok, COUNT(*) AS doc_freq FROM ("
+        "SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok "
+        "FROM documents) GROUP BY tok "
+        "ORDER BY doc_freq DESC, tok LIMIT 100"
     ),
     "dedup_ngram": (
         "WITH toks AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok "
