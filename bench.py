@@ -29,14 +29,18 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     headline = [
         "agg_hash",          # TPC-H Q1 shape: scan + hash agg
         "join_inner",        # shuffle join + agg
-        "join_asof_emul",    # range join + window
+        "join_asof_emul",    # range join + map-side max_by collapse
         "win_rank",          # partitioned window
         "topk",              # global top-k
-        "dedup_exact",       # groupBy on wide string key
+        "dedup_exact",       # two-level (hash,len) dedup
         "dedup_minhash",     # shingle->minhash->LSH pipeline
         "ann_cosine",        # explode + join + window re-rank
         "span_extract",      # Arrow pandas-UDF extraction path
         "stream_window",     # tumbling window agg
+        # added in round 2 (absent from BENCH_r01):
+        "dedup_cluster",     # iterative converging joins (components)
+        "dedup_incremental", # probe persisted exact index
+        "corpus_clean",      # composite quality->lang->dedup pipeline
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

@@ -488,6 +488,30 @@ def q_token_count(spark, sf):
     )
 
 
+def q_corpus_clean(spark, sf):
+    """Composite training-data cleaning pipeline: quality gate (length +
+    token count) -> language filter (en stopword vote) -> exact dedup
+    keep-smallest-id survivors, with planted duplicates so the dedup stage
+    provably fires. One DataFrame DAG; the oracle replays the same gates
+    in SQL."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 70000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "in")])
+    gated = corpus.filter(
+        (F.length("text") >= 50)
+        & (F.size(toks) >= 8)
+        & (F.size(F.array_intersect(toks, stop)) >= 1)
+    )
+    kept = exact_dedup(gated, "text", "doc_id")
+    return kept.select(F.col("keep_id").alias("doc_id"), "dup_cnt")
+
+
 def q_vocab_df(spark, sf):
     """Corpus vocabulary by document frequency (training-pipeline staple:
     vocab building / rare-token filtering). explode(distinct tokens) ->
@@ -1034,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "vocab_df": q_vocab_df,
+    "corpus_clean": q_corpus_clean,
     "dedup_ngram": q_dedup_ngram,
     "ann_cosine": q_ann_cosine,
     "span_extract": q_span_extract,
@@ -1266,6 +1291,15 @@ ORACLE: dict[str, str] = {
         "CASE WHEN len(list_intersect(string_split(text, ' '), "
         "['the','a','of','and','in'])) >= 1 THEN 'en' ELSE 'unk' END AS pred_lang "
         "FROM documents"
+    ),
+    "corpus_clean": (
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 70000, text FROM documents WHERE doc_id < 60), "
+        "gated AS (SELECT doc_id, text FROM corpus WHERE LENGTH(text) >= 50 "
+        "AND len(string_split(text, ' ')) >= 8 "
+        "AND len(list_intersect(string_split(text, ' '), "
+        "['the','a','of','and','in'])) >= 1) "
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt FROM gated GROUP BY text"
     ),
     "vocab_df": (
         "SELECT tok, COUNT(*) AS doc_freq FROM ("
