@@ -96,9 +96,12 @@ def resolve_clusters(
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
         max_iter=max_iter,
     )
+    # rename the join key before joining: a plain .drop("id") would drop
+    # BOTH columns when the caller's id_col is itself named "id"
+    comps = comps.select(F.col("id").alias("_cc_id"), "component")
     return (
-        df.join(comps, df[id_col] == comps.id)
-        .drop("id")
+        df.join(comps, df[id_col] == comps._cc_id)
+        .drop("_cc_id")
         .withColumn("keep", F.col(id_col) == F.col("component"))
     )
 

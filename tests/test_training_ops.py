@@ -193,6 +193,18 @@ def test_minhash_to_survivors_end_to_end(spark):
     assert len(survivors) == 30  # nothing else dropped
 
 
+def test_resolve_clusters_with_id_named_id(spark):
+    """Regression: caller's id column literally named 'id' must survive the
+    internal join (a bare drop('id') would remove both)."""
+    from croawl_spark.operators.cluster import resolve_clusters
+
+    docs = spark.createDataFrame([(1, "a"), (2, "a"), (9, "b")], "id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["id"]: (r["component"], r["keep"])
+           for r in resolve_clusters(docs, pairs, "id").collect()}
+    assert got == {1: (1, True), 2: (1, False), 9: (9, True)}
+
+
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Seeded random graphs (cycles, self-loops, multi-edges, isolated
     vertices) vs a pure-python union-find oracle."""
