@@ -293,7 +293,12 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     # O(delta) — the Iceberg-append pattern (TableIO emulates it)
     seen = io.read_log("seen", cycle - 1)
     host_state = io.read_snapshot("host_state", cycle - 1)
-    filt = io.read_snapshot("seen_filter", cycle - 1) if cfg.use_filter else None
+    filt = None
+    if cfg.use_filter:
+        try:
+            filt = io.read_snapshot("seen_filter", cycle - 1)
+        except FileNotFoundError:
+            pass  # filter enabled mid-crawl: rebuilt from the seen log below
 
     # filter geometry comes from the COMMITTED counters, not cfg: bit blobs
     # are only probeable under the geometry they were built with. A resume
@@ -302,7 +307,9 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     counters = io.counters()
     geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
     geo_m = int(counters.get("filter_m_bits", cfg.m_bits))
-    if cfg.use_filter and (geo_buckets != cfg.n_buckets or geo_m < cfg.m_bits):
+    if cfg.use_filter and (
+        filt is None or geo_buckets != cfg.n_buckets or geo_m < cfg.m_bits
+    ):
         # (committed m_bits LARGER than cfg is fine — that's the auto-sizer
         # having grown a new generation; keep it, don't shrink-thrash)
         geo_buckets, geo_m = cfg.n_buckets, cfg.m_bits

@@ -152,6 +152,19 @@ def test_resume_with_different_filter_geometry(spark):
         assert io_res.counters()["filter_n_buckets"] == 4
 
 
+def test_enable_filter_mid_crawl(spark):
+    """Turning the bloom prefilter ON for a warehouse crawled without one
+    must rebuild from the seen log and continue identically."""
+    seeds = synth.gen_seeds(60)
+    off = CrawlConfig(k_per_host=2, n_salt=4, use_filter=False)
+    with tempfile.TemporaryDirectory() as d:
+        full = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/full", off))
+        run_crawl(spark, seeds, 2, f"{d}/mix", off)
+        io = run_crawl(spark, seeds, 3, f"{d}/mix", CFG, resume=True)
+        assert _spark_log_rows(io) == full
+        assert io.read_snapshot("seen_filter").count() == CFG.n_buckets
+
+
 def test_salted_topk_equals_plain_topk(spark):
     """W1 correctness: the salted two-phase ranking must select EXACTLY the
     rows a plain per-host window would (salt defuses skew, never changes
