@@ -193,6 +193,27 @@ def test_minhash_to_survivors_end_to_end(spark):
     assert len(survivors) == 30  # nothing else dropped
 
 
+def test_round2_ops_shuffle_partition_invariance(spark):
+    """North-rule determinism for the new operators: radically different
+    shuffle parallelism must not change any result row (components,
+    incremental dedup, composite pipeline, simhash pairs)."""
+    from croawl_spark.plans.verify_queries import QUERIES
+
+    keys = ["dedup_cluster", "dedup_incremental", "corpus_clean", "dedup_simhash_pairs"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for np_ in ("2", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", np_)
+            for k in keys:
+                rows = sorted(tuple(r) for r in QUERIES[k](spark, SF).collect())
+                results.setdefault(k, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for k, (a, b) in results.items():
+        assert a == b, k
+
+
 def test_resolve_clusters_with_id_named_id(spark):
     """Regression: caller's id column literally named 'id' must survive the
     internal join (a bare drop('id') would remove both)."""
