@@ -389,6 +389,31 @@ def q_fn_array(spark, sf):
     )
 
 
+def q_fn_struct(spark, sf):
+    """Struct construction/field access (X-family completion): named_struct
+    build, getField, struct comparison via min_by over a struct key."""
+    li = _t(spark, sf, "lineitem")
+    s = F.struct(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("qty")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", s.alias("s"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("s.flag").alias("flag"),
+            (F.col("s.qty") * 2).alias("qty2"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.min_by(F.struct("l_orderkey", "l_linenumber"), F.struct("qty2", "l_orderkey", "l_linenumber"))
+            .getField("l_orderkey")
+            .alias("min_qty_orderkey"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_fn_map(spark, sf):
     e = _t(spark, sf, "events")
     m = F.from_json("props", "map<string,int>")
@@ -1050,6 +1075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_math": q_fn_math,
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
+    "fn_struct": q_fn_struct,
     "fn_json": q_fn_json,
     "stream_window": q_stream_window,
     "dedup_exact": q_dedup_exact,
@@ -1247,6 +1273,14 @@ ORACLE: dict[str, str] = {
     "fn_map": (
         "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k_val, "
         "1 AS n_keys FROM events"
+    ),
+    "fn_struct": (
+        "SELECT flag, min_qty_orderkey, n FROM ("
+        "SELECT l_returnflag AS flag, l_orderkey AS min_qty_orderkey, "
+        "COUNT(*) OVER (PARTITION BY l_returnflag) AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_quantity * 2, l_orderkey, l_linenumber) AS r "
+        "FROM lineitem) WHERE r = 1"
     ),
     "fn_json": (
         "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
