@@ -80,6 +80,39 @@ def exact_dedup(
     return singles.unionByName(multi)
 
 
+def mark_content_dups(
+    docs: DataFrame,
+    content_seen: DataFrame | None,
+    hash_col: str = "content_hash",
+    order_col: str = "fetch_seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Content-seen dedup (the Mercator content-seen test, as distinct from
+    the URL-seen test): flag documents whose content hash was already
+    fetched — by an earlier cycle (``content_seen`` log) or by an earlier
+    row of this batch (first-wins under the ``order_col`` total order, so
+    the flag is deterministic at any parallelism).
+
+    -> (docs + is_content_dup: boolean, content_seen_delta) where the delta
+    holds one (content_hash, first_<order_col>) row per NEWLY seen hash —
+    append it to the log exactly like the URL seen log (O(delta)/cycle).
+    Note: 64-bit hash collisions mark false duplicates at ~birthday(2^64)
+    odds; callers needing exactness re-check span_fingerprint equality on
+    flagged rows (the two-level exact_dedup pattern).
+    """
+    firsts = docs.groupBy(hash_col).agg(F.min(order_col).alias("_first_seq"))
+    if content_seen is not None:
+        firsts = firsts.join(
+            content_seen.select(hash_col), hash_col, "left_anti"
+        )
+    delta = firsts.select(
+        hash_col, F.col("_first_seq").alias(f"first_{order_col}")
+    )
+    flagged = docs.join(firsts, hash_col, "left").withColumn(
+        "is_content_dup", F.col("_first_seq").isNull() | (F.col(order_col) != F.col("_first_seq"))
+    ).drop("_first_seq")
+    return flagged, delta
+
+
 def build_exact_index(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Persistable exact-dup index: one (content_hash, content_len, keep_id)
     row per distinct content — 20 bytes/doc instead of the corpus body.

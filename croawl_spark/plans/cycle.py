@@ -112,8 +112,28 @@ _FETCH_PARSE_OUT = StructType(
         StructField("oai_endpoint", StringType()),
         StructField("outlinks", ArrayType(StringType())),
         StructField("n_spans", IntegerType()),
+        StructField("content_hash", LongType()),
     ]
 )
+
+
+def _content_hash(spans: list[dict]) -> int:
+    """64-bit content digest over (kind, text, media_ref) in offset order —
+    computed INSIDE the fused fetch+parse python stage where the spans are
+    already materialized (hashing them JVM-side via to_json would
+    re-serialize the whole corpus body a second time)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        h.update(
+            "\x1e".join(
+                [s.get("kind") or "", s.get("text") or "", s.get("media_ref") or ""]
+            ).encode("utf-8")
+        )
+        h.update(b"\x1d")
+    v = int.from_bytes(h.digest(), "big")
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 def _fetch_stage(batch: DataFrame) -> DataFrame:
@@ -146,6 +166,9 @@ def _fetch_stage(batch: DataFrame) -> DataFrame:
             out["oai_endpoint"] = [e["oai_endpoint"] if e else None for e in exs]
             out["outlinks"] = [e["outlinks"] if e else None for e in exs]
             out["n_spans"] = pages.map(lambda p: len(p["spans"])).astype("int32")
+            out["content_hash"] = pages.map(
+                lambda p: _content_hash(p["spans"])
+            ).astype("int64")
             yield out
 
     return batch.mapInPandas(fetch_parse, _FETCH_PARSE_OUT)
@@ -368,6 +391,26 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
 
     # 5. parse output (fused into the fetch stage — one Arrow crossing)
     parsed = fetched.filter(F.col("status") == 200)
+
+    # 5b. content-seen test (Mercator-style, distinct from URL-seen):
+    # mirrors/aliases serving identical pages get flagged. Only a NARROW
+    # projection (url_hash, fetch_seq, content_hash) rides the dedup
+    # shuffle — spans stay in the documents write path; the flag lives in
+    # the content_dups side table (join on url_hash within the cycle
+    # partition when needed). content_seen is an O(delta) append-only log,
+    # exactly like the URL seen log.
+    from croawl_spark.operators.dedup import mark_content_dups
+
+    content_narrow = parsed.select("url_hash", "fetch_seq", "content_hash")
+    try:
+        cs_log = io.read_log("content_seen", cycle - 1)
+    except FileNotFoundError:
+        cs_log = None
+    content_dups, cs_delta = mark_content_dups(content_narrow, cs_log)
+    content_dups = content_dups.select(
+        F.lit(cycle).cast("int").alias("cycle"),
+        "url_hash", "fetch_seq", "content_hash", "is_content_dup",
+    )
     metadata = parsed.select(
         F.col("canon_url").alias("doc_id"),
         "dc_title",
@@ -475,6 +518,9 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     _mark("write documents")
     io.write_snapshot(metadata, "metadata", cycle)
     _mark("write metadata (parse ran here)")
+    io.write_snapshot(content_dups, "content_dups", cycle)
+    io.write_snapshot(cs_delta, "content_seen", cycle)
+    _mark("write content-seen")
     io.write_snapshot(metrics, "metrics", cycle)
     io.write_snapshot(frontier_next, "frontier", cycle)
     _mark("write frontier")
@@ -483,7 +529,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     io.write_snapshot(host_state_next, "host_state", cycle)
     committed = [
         "fetch_log", "documents", "metadata", "metrics",
-        "frontier", "seen", "host_state",
+        "frontier", "seen", "host_state", "content_dups", "content_seen",
     ]
     new_counters = {
         "total_fetches": fetch_base + n_sched,

@@ -112,6 +112,23 @@ HOST_STATE = StructType(
     ]
 )
 
+CONTENT_SEEN = StructType(
+    [
+        StructField("content_hash", LongType()),
+        StructField("first_fetch_seq", LongType()),
+    ]
+)
+
+CONTENT_DUPS = StructType(
+    [
+        StructField("cycle", IntegerType()),
+        StructField("url_hash", LongType()),
+        StructField("fetch_seq", LongType()),
+        StructField("content_hash", LongType()),
+        StructField("is_content_dup", BooleanType()),
+    ]
+)
+
 METRICS = StructType(
     [
         StructField("cycle", IntegerType()),

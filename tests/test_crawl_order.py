@@ -64,6 +64,24 @@ def test_seen_has_no_hash_dupes(crawl):
     assert seen.select("disc_seq").distinct().count() == n
 
 
+def test_content_seen_tables(crawl):
+    """Content-seen side tables: one content_dups row per parsed doc; the
+    content_seen log holds exactly the distinct content hashes, keyed by
+    their first fetch_seq (deterministic first-wins)."""
+    io, _, _ = crawl
+    dups = io.read_log("content_dups")
+    docs = io.read_log("documents")
+    assert dups.count() == docs.count()
+    seen_log = io.read_log("content_seen")
+    n_distinct = dups.select("content_hash").distinct().count()
+    assert seen_log.count() == n_distinct
+    assert seen_log.select("content_hash").distinct().count() == n_distinct
+    # non-dup rows are exactly the log's first_fetch_seq rows
+    firsts = {r["first_fetch_seq"] for r in seen_log.collect()}
+    originals = {r["fetch_seq"] for r in dups.filter("NOT is_content_dup").collect()}
+    assert firsts == originals
+
+
 def test_frontier_disjoint_from_fetched(crawl):
     """invariant: no queued URL was ever fetched (U3-style audit)."""
     io, _, _ = crawl

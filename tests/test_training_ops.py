@@ -104,6 +104,31 @@ def test_incremental_dedup_matches_self_dedup(spark):
     assert all(v is None for k, v in dup_of.items() if k < 9000)  # no natural dups
 
 
+def test_mark_content_dups_across_batches(spark):
+    """Content-seen test: within-batch first-wins under fetch_seq, prior
+    batches via the persisted log, delta holds only newly-seen hashes."""
+    from croawl_spark.operators.dedup import mark_content_dups
+
+    b1 = spark.createDataFrame(
+        [(1, 10, 111), (2, 11, 222), (3, 12, 111)],
+        "url_hash long, fetch_seq long, content_hash long",
+    )
+    flagged1, delta1 = mark_content_dups(b1, None)
+    f1 = {r["fetch_seq"]: r["is_content_dup"] for r in flagged1.collect()}
+    assert f1 == {10: False, 11: False, 12: True}  # seq 12 repeats 111
+    d1 = {(r["content_hash"], r["first_fetch_seq"]) for r in delta1.collect()}
+    assert d1 == {(111, 10), (222, 11)}
+
+    b2 = spark.createDataFrame(
+        [(4, 20, 222), (5, 21, 333), (6, 22, 333)],
+        "url_hash long, fetch_seq long, content_hash long",
+    )
+    flagged2, delta2 = mark_content_dups(b2, delta1)
+    f2 = {r["fetch_seq"]: r["is_content_dup"] for r in flagged2.collect()}
+    assert f2 == {20: True, 21: False, 22: True}  # 222 seen in batch 1
+    assert {r["content_hash"] for r in delta2.collect()} == {333}
+
+
 def test_incremental_minhash_matches_self_dedup(spark):
     """Batch-2 probed against batch-1's PERSISTED signature index (batch-1
     text never re-shingled) must equal the whole-corpus self-dedup
