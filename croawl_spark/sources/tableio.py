@@ -106,6 +106,33 @@ class TableIO:
         df = self.spark.read.parquet(*[self._dir(table, c) for c in cycles])
         return df
 
+    def compact_log(self, df: DataFrame, table: str, cycle: int) -> None:
+        """Replace ALL committed segments of a log table with one compacted
+        segment at ``cycle`` (maintenance path: seen-log expiry/compaction).
+        The data is written to a fresh directory first and the manifest
+        swap is the usual atomic rename — a crash mid-compaction leaves the
+        old segments committed. Old directories are removed lazily AFTER
+        the commit (orphans are harmless: reads go through the manifest).
+
+        Iceberg mapping: REPLACE TABLE ... AS SELECT (or rewrite_data_files
+        + expire_snapshots) — same read-through-metadata guarantee.
+        """
+        old_cycles = self.read_manifest()["tables"].get(table, [])
+        # the compacted df usually READS the old segments — writing over an
+        # existing segment would delete its input mid-scan
+        assert cycle not in old_cycles, "compact to a fresh cycle number"
+        self.write_snapshot(df, table, cycle)
+        m = self.read_manifest()
+        m["tables"][table] = [cycle]
+        m["last_cycle"] = max(m["last_cycle"], cycle)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+        for c in old_cycles:
+            if c != cycle:
+                shutil.rmtree(self._dir(table, c), ignore_errors=True)
+
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)
 

@@ -170,6 +170,58 @@ def test_resume_with_different_filter_geometry(spark):
         assert io_res.counters()["filter_n_buckets"] == 4
 
 
+def test_expire_recrawl_forgets_and_requeues(spark):
+    """Recrawl-TTL maintenance: URLs last-fetched > ttl cycles ago are
+    compacted out of the seen log AND the rebuilt filter, so a rediscovered
+    link to them passes the whole seen gate (filter probe + exact
+    anti-join) as new; the continued crawl stays consistent and
+    deterministic across reruns."""
+    from croawl_spark.operators.seenfilter import probe_filter
+    from croawl_spark.plans.maintenance import expire_recrawl
+
+    seeds = synth.gen_seeds(60)
+
+    def run_with_expiry(d, check=False):
+        io = run_crawl(spark, seeds, 3, d, CFG)
+        stats = expire_recrawl(spark, io, ttl=2, cfg=CFG)
+        if check:
+            # asserts at the post-expiry point, before the continuation
+            assert stats["expired"] > 0
+            log = io.read_log("fetch_log")
+            expired = (
+                log.groupBy("url_hash", "canon_url")
+                .agg(F.max("cycle").alias("lc"))
+                .filter("lc <= 0")  # cutoff = last(2) - ttl(2)
+                .select("url_hash", "canon_url")
+            )
+            seen = io.read_log("seen")
+            n_expired = expired.count()
+            assert n_expired == stats["expired"] and n_expired > 0
+            # the full seen gate treats them as new: exact anti-join passes
+            # all of them, and the rebuilt filter genuinely forgot them
+            assert (
+                expired.join(seen, ["url_hash", "canon_url"], "left_anti").count()
+                == n_expired
+            )
+            filt = io.read_snapshot("seen_filter")
+            counters = io.counters()
+            probed = probe_filter(
+                expired, filt,
+                int(counters["filter_n_buckets"]), int(counters["filter_m_bits"]),
+            )
+            assert probed.filter(~F.col("maybe_seen")).count() > 0
+        io = run_crawl(spark, seeds, 7, d, CFG, resume=True)
+        return io
+
+    with tempfile.TemporaryDirectory() as d:
+        io = run_with_expiry(f"{d}/a", check=True)
+        seen = io.read_log("seen")
+        assert seen.select("canon_url").distinct().count() == seen.count()
+        # determinism: identical rerun -> identical post-expiry fetch log
+        io2 = run_with_expiry(f"{d}/b")
+        assert _spark_log_rows(io2) == _spark_log_rows(io)
+
+
 def test_enable_filter_mid_crawl(spark):
     """Turning the bloom prefilter ON for a warehouse crawled without one
     must rebuild from the seen log and continue identically."""
