@@ -66,8 +66,15 @@ def connected_components(
             e.join(labels, e.u == labels.id)
             .select(F.col("v").alias("id"), "component")
         )
+        # pointer jumping (path compression): also adopt my label's label —
+        # labels always point within the component, so this is safe, and it
+        # turns O(diameter) rounds into O(log diameter)
+        lab_of_lab = labels.alias("a").join(
+            labels.alias("b"), F.col("a.component") == F.col("b.id")
+        ).select(F.col("a.id").alias("id"), F.col("b.component").alias("component"))
         new_labels = (
             labels.unionByName(nbr_min)
+            .unionByName(lab_of_lab)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage each round
