@@ -61,21 +61,31 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr_min = (
+    for it in range(max_iter):
+        parts = [
+            labels,
             e.join(labels, e.u == labels.id)
-            .select(F.col("v").alias("id"), "component")
-        )
-        # pointer jumping (path compression): also adopt my label's label —
-        # labels always point within the component, so this is safe, and it
-        # turns O(diameter) rounds into O(log diameter)
-        lab_of_lab = labels.alias("a").join(
-            labels.alias("b"), F.col("a.component") == F.col("b.id")
-        ).select(F.col("a.id").alias("id"), F.col("b.component").alias("component"))
+            .select(F.col("v").alias("id"), "component"),
+        ]
+        if it > 0:
+            # pointer jumping (path compression): also adopt my label's
+            # label — labels always point within the component, so this is
+            # safe, and it turns O(diameter) rounds into O(log diameter).
+            # Skipped in round 0 where labels are still the identity map.
+            parts.append(
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.component") == F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id"), F.col("b.component").alias("component")
+                )
+            )
         new_labels = (
-            labels.unionByName(nbr_min)
-            .unionByName(lab_of_lab)
-            .groupBy("id")
+            parts[0].unionByName(parts[1])
+            if len(parts) == 2
+            else parts[0].unionByName(parts[1]).unionByName(parts[2])
+        )
+        new_labels = (
+            new_labels.groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage each round
         )
