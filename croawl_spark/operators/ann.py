@@ -194,20 +194,26 @@ def ann_ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF search: assign corpus to cells once; each query probes its
-    n_probe nearest cells; exact cosine re-rank on the candidate union."""
+    n_probe nearest cells; exact cosine re-rank on the candidate union.
+
+    The cell join is NARROW — both sides ship (id, cell) only, and the
+    vectors are re-attached to the deduped candidate pairs by id (the same
+    slimming as the minhash band join, operators/minhash.py). A cell join
+    that carries the arrays rides every embedding through the exchange
+    n_probe times; at 100 TB that is the whole corpus × n_probe in shuffle
+    bytes for no information the id join can't recover.
+    """
     C = ivf_train_centroids(vectors, id_col, vec_col, k=n_cells)
-    vb = with_ivf_cell(
-        vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")),
-        C, "cand_vec",
+    cands = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
     )
-    spark = vectors.sparkSession
+    vb = with_ivf_cell(cands, C, "cand_vec").select("cand_id", "cell")
 
     # per-query probe cells (driver-free: computed in the same assign UDF
-    # shape, emitting n_probe rows per query)
+    # shape, emitting n_probe narrow (query_id, cell) rows per query)
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
-            StructField("query_vec", queries.schema[vec_col].dataType),
             StructField("cell", LongType()),
         ]
     )
@@ -219,18 +225,29 @@ def ann_ivf_topk(
                 v = np.asarray(vec, dtype=np.float64)
                 d = ((C - v[None, :]) ** 2).sum(axis=1)
                 for cell in np.argsort(d)[:n_probe]:
-                    rows.append((qid, vec, int(cell)))
-            yield pd.DataFrame(rows, columns=["query_id", "query_vec", "cell"])
+                    rows.append((qid, int(cell)))
+            yield pd.DataFrame(rows, columns=["query_id", "cell"])
 
     qb = queries.mapInPandas(probe, out_schema)
-    joined = qb.join(vb, "cell").filter(F.col("query_id") != F.col("cand_id"))
-    scored = joined.withColumn("cosine", cosine_expr("query_vec", "cand_vec"))
+    pairs = (
+        qb.join(vb, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        pairs.join(qs, "query_id")
+        .join(cands, "cand_id")
+        .withColumn("cosine", cosine_expr("query_vec", "cand_vec"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cosine", "rk")
-        .dropDuplicates(["query_id", "cand_id"])
     )
 
 

@@ -60,7 +60,13 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # convergence checksum: labels only ever decrease, so an unchanged sum
+    # is a fixpoint. Summed as decimal(38,0), NOT long — Spark's non-ANSI
+    # long SUM wraps silently on overflow, and with billions of large
+    # 64-bit ids a wrap that lands on the previous sum would falsely read
+    # as converged; decimal(38,0) cannot wrap at any realistic scale.
+    _sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sum).collect()[0][0]
     for it in range(max_iter):
         parts = [
             labels,
@@ -89,11 +95,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage each round
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if new_sum == prev_sum:  # labels are monotone non-increasing
-            break
-        prev_sum = new_sum
+        # check convergence only every second round (and on the last):
+        # with pointer jumping a fixpoint arrives in O(log diameter)
+        # rounds, so at most one extra cheap round runs, and the number of
+        # scalar collect actions — the dominant per-round constant at
+        # small scale — is halved.
+        if it % 2 == 1 or it == max_iter - 1:
+            new_sum = labels.agg(_sum).collect()[0][0]
+            if new_sum == prev_sum:  # labels are monotone non-increasing
+                break
+            prev_sum = new_sum
     e.unpersist()
     return labels
 
@@ -107,12 +119,19 @@ def resolve_clusters(
     keep = (id == component): the smallest id in each cluster survives —
     deterministic at any parallelism. Rows absent from pairs are singleton
     components (keep = true).
+
+    Pairs referencing ids absent from df are dropped (semi-join on both
+    endpoints) — otherwise a phantom id could become a cluster's min
+    label, the inner join back to df would leave keep=false for every
+    real row, and the whole cluster would be silently deleted.
     """
-    comps = connected_components(
-        df.select(F.col(id_col).alias("id")),
-        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
-        max_iter=max_iter,
+    ids = df.select(F.col(id_col).alias("id"))
+    p = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .join(ids.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(ids.select(F.col("id").alias("dst")), "dst", "left_semi")
     )
+    comps = connected_components(ids, p, max_iter=max_iter)
     # rename the join key before joining: a plain .drop("id") would drop
     # BOTH columns when the caller's id_col is itself named "id"
     comps = comps.select(F.col("id").alias("_cc_id"), "component")

@@ -29,7 +29,11 @@ def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, content_col: str, id_col: str, hash_expr: F.Column | None = None
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    hash_expr: F.Column | None = None,
+    broadcast_max_keys: int = 1_000_000,
 ) -> DataFrame:
     """Exact content dedup, two-level: never ships the corpus body bytes
     through a shuffle.
@@ -37,18 +41,31 @@ def exact_dedup(
       level 1: group by (xxhash64(content), length(content)) — a 12-byte
                key — with map-side partial counts; keys with count > 1
                (the duplicate groups, a tiny fraction of a real corpus)
-               are broadcast back as a dup-key set.
+               form the dup-key set.
       level 2: ONLY rows in duplicate groups re-group by (hash, len,
                content) to confirm equality exactly — so a 64-bit hash
                collision between different texts still yields separate
                groups and the result is identical to GROUP BY content.
                Singletons (the vast majority) emit (id, 1) with no
-               content shuffle at all.
+               content shuffle at all. Skipped entirely (no second corpus
+               job) when the corpus has zero duplicate candidates.
 
     At 100 TB the old single-level GROUP BY content shipped the corpus
     body through the exchange; here the full-table exchange carries only
     (hash, len, id) and content moves only for rows that actually have a
-    duplicate-candidate. ``hash_expr`` is injectable for collision tests.
+    duplicate-candidate. The level-1 aggregate is persisted and computed
+    ONCE (it feeds the singleton answer, the dup-key set, and the dup-key
+    count), and the dup-key semi-join is broadcast only while the dup-key
+    count stays under ``broadcast_max_keys`` — on corpora with ~30%
+    duplication the dup-key set is O(corpus) and a forced broadcast would
+    OOM; past the threshold it degrades to a shuffle semi-join (AQE may
+    still pick broadcast from runtime sizes). ``hash_expr`` is injectable
+    for collision tests.
+
+    NULL content is preserved: length(NULL) is NULL, so ``_len`` is
+    coalesced to a -1 sentinel (lengths are never negative) — otherwise
+    the level-2 equi-join would silently drop NULL-content rows that share
+    a group (NULL != NULL), breaking GROUP-BY-content parity.
 
     -> (keep_id, dup_cnt): smallest id per distinct content + group size,
     byte-identical to ``GROUP BY content`` (the oracle form).
@@ -58,21 +75,29 @@ def exact_dedup(
         F.col(id_col).alias("_id"),
         F.col(content_col).alias("_txt"),
         h.alias("_h"),
-        F.length(content_col).alias("_len"),
+        F.coalesce(F.length(content_col), F.lit(-1)).alias("_len"),
     )
     lvl1 = keyed.groupBy("_h", "_len").agg(
         F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("_gc")
-    )
+    ).persist()
     # singleton groups are fully answered by the narrow aggregate — their
     # keep_id IS the row id and dup_cnt = 1; no row-level revisit at all
     singles = lvl1.filter(F.col("_gc") == 1).select(
         "keep_id", F.lit(1).cast("long").alias("dup_cnt")
     )
     dup_keys = lvl1.filter(F.col("_gc") > 1).select("_h", "_len")
-    # broadcast semi-join: dup-key set << corpus, so the second corpus
-    # pass shuffles only rows that actually have a duplicate-candidate
+    # one O(1)-result action on the persisted aggregate decides the shape
+    # of level 2; the same cached lvl1 then serves singles + dup_keys
+    n_dup_keys = dup_keys.count()
+    if n_dup_keys == 0:
+        return singles
+    joinable = (
+        F.broadcast(dup_keys) if n_dup_keys <= broadcast_max_keys else dup_keys
+    )
+    # semi-join: the second corpus pass shuffles only rows that actually
+    # have a duplicate-candidate (equi-join is NULL-safe via the sentinel)
     multi = (
-        keyed.join(F.broadcast(dup_keys), ["_h", "_len"], "left_semi")
+        keyed.join(joinable, ["_h", "_len"], "left_semi")
         .groupBy("_h", "_len", "_txt")  # exact within-group confirmation
         .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
         .select("keep_id", "dup_cnt")

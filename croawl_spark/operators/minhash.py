@@ -210,10 +210,13 @@ def incremental_minhash_pairs(
     """Near-dup pairs for a NEW batch against a persisted signature index
     (plus within-batch self pairs) — the old corpus text is never touched.
 
-    -> (id_a, id_b, est_sim): id_a from the index for cross pairs (old ids
-    assumed disjoint from new ids), plus new-vs-new pairs. Matches the
-    whole-corpus self-dedup restricted to pairs involving a new doc,
-    because signatures/band keys are identical deterministic functions.
+    -> (id_a, id_b, est_sim) with id_a < id_b (pair orientation normalized
+    via least/greatest, so the result equals the whole-corpus self-dedup
+    restricted to pairs involving a new doc regardless of how old and new
+    ids interleave — the precondition is only that the id SETS are
+    disjoint, not that old ids sort below new ones). Cross pairs against
+    the index plus new-vs-new pairs; signatures/band keys are identical
+    deterministic functions of the text.
     """
     new_sig = minhash_signature(new_df, id_col, text_col, n_perm, k)
     nb = band_keys(new_sig, id_col, n_perm, n_bands).select(
@@ -224,11 +227,20 @@ def incremental_minhash_pairs(
     )
     cross = (
         nb.join(ob, ["band", "key"])
-        .select(F.col("_oid").alias("id_a"), F.col("_nid").alias("id_b"))
+        .select(
+            F.least("_oid", "_nid").alias("id_a"),
+            F.greatest("_oid", "_nid").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = index_sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = new_sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    # after orientation normalization either side of a cross pair can be
+    # the old or the new doc, so signature lookup goes against the union
+    # (id sets are disjoint by precondition — no ambiguity)
+    all_sig = index_sig.select(F.col(id_col).alias("_sid"), "sig").unionByName(
+        new_sig.select(F.col(id_col).alias("_sid"), "sig")
+    )
+    sa = all_sig.select(F.col("_sid").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sig.select(F.col("_sid").alias("id_b"), F.col("sig").alias("sig_b"))
     cross_scored = (
         cross.join(sa, "id_a")
         .join(sb, "id_b")

@@ -35,7 +35,12 @@ def test_exact_dedup_two_level_equals_text_grouping(spark):
     dups = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 50000).alias("doc_id"), "text"
     )
-    corpus = d.unionByName(dups)
+    # NULL content must survive: 2 NULL rows share a (hash, len) group where
+    # length(NULL) is NULL — a non-null-safe level-2 join would drop both
+    nulls = spark.createDataFrame(
+        [(90001, None), (90002, None)], "doc_id long, text string"
+    )
+    corpus = d.unionByName(dups).unionByName(nulls)
     got = sorted(
         (r["keep_id"], r["dup_cnt"]) for r in exact_dedup(corpus, "text", "doc_id").collect()
     )
@@ -66,13 +71,53 @@ def test_exact_dedup_survives_hash_collisions(spark):
 
 def test_exact_dedup_shuffles_hash_not_text(spark):
     """Level-1 plan shape: the full-corpus exchange keys on (_h, _len), the
-    dup-key set is broadcast, and no full-table exchange carries _txt."""
+    dup-key set is broadcast, and no full-table exchange carries _txt.
+    Dups are planted — a dup-free corpus legitimately skips level 2."""
     from croawl_spark.operators.dedup import exact_dedup
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
-    plan = exact_dedup(d, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+        )
+    )
+    plan = exact_dedup(corpus, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_h" in plan  # narrow level-1 shuffle key
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_exact_dedup_skips_level2_when_dup_free(spark):
+    """A corpus with zero duplicate candidates is answered by the level-1
+    aggregate alone: no join (hence no second corpus pass) in the plan."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = exact_dedup(d, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    n = d.count()
+    rows = out.collect()
+    assert len(rows) == n and all(r["dup_cnt"] == 1 for r in rows)
+
+
+def test_exact_dedup_broadcast_gate(spark):
+    """Past the dup-key threshold the forced broadcast is dropped (real
+    corpora run ~30% duplication — an O(corpus) broadcast would OOM);
+    results must be identical either way."""
+    from croawl_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+        )
+    )
+    hinted = exact_dedup(corpus, "text", "doc_id")
+    gated = exact_dedup(corpus, "text", "doc_id", broadcast_max_keys=0)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    a = sorted((r["keep_id"], r["dup_cnt"]) for r in hinted.collect())
+    b = sorted((r["keep_id"], r["dup_cnt"]) for r in gated.collect())
+    assert a == b
 
 
 def test_incremental_dedup_matches_self_dedup(spark):
@@ -286,6 +331,92 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(verts, e_df).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_incremental_minhash_orientation_new_below_old(spark):
+    """Pair orientation: when NEW ids sort BELOW old ids, the incremental
+    probe must still equal the whole-corpus self-dedup (pairs normalized to
+    id_a < id_b) — the precondition is disjoint id sets, not old < new."""
+    import tempfile
+
+    from croawl_spark.operators.minhash import (
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+        minhash_signature,
+    )
+    from croawl_spark.sources.tableio import TableIO
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    new = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 240)).unionByName(
+        d.filter(F.col("doc_id") < 20)  # copies of old texts, SMALL ids
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        io = TableIO(spark, tmp)
+        io.write_snapshot(minhash_signature(old, "doc_id", "text"), "minhash_sig", 0)
+        io.commit_cycle(0, ["minhash_sig"])
+        idx = io.read_snapshot("minhash_sig")
+        inc = {
+            (r["id_a"], r["id_b"], r["est_sim"])
+            for r in incremental_minhash_pairs(
+                new, idx, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"], r["est_sim"])
+        for r in minhash_dedup_pairs(
+            old.unionByName(new), "doc_id", "text", threshold=0.5
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == full
+    assert all(a < b for a, b, _ in inc)
+    assert any(a < 20 and b >= 500000 for a, b, _ in inc)  # copies found
+
+
+def test_resolve_clusters_ignores_phantom_pair_ids(spark):
+    """A pair endpoint absent from df must not become a cluster label —
+    otherwise keep=false for every real row silently deletes the cluster."""
+    from croawl_spark.operators.cluster import keep_one_per_cluster, resolve_clusters
+
+    docs = spark.createDataFrame(
+        [(5, "a"), (6, "a"), (9, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 6)], "id_a long, id_b long"  # 0 is a phantom id
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in resolve_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {5: (5, True), 6: (5, False), 9: (9, True)}
+    survivors = {
+        r["doc_id"] for r in keep_one_per_cluster(docs, pairs, "doc_id").collect()
+    }
+    assert survivors == {5, 9}
+
+
+def test_connected_components_huge_ids_no_sum_overflow(spark):
+    """Convergence checksum with ids near 2^62: the plain long SUM would
+    wrap (8 × 2^62 > 2^63), the decimal(38,0) sum must not — components
+    still exact."""
+    from croawl_spark.operators.cluster import connected_components
+
+    base = 1 << 62
+    ids = [base + i for i in range(8)]
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(3)]  # chain over first 4
+        + [(ids[6], ids[7])],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    want = {ids[i]: ids[0] for i in range(4)}
+    want.update({ids[4]: ids[4], ids[5]: ids[5], ids[6]: ids[6], ids[7]: ids[6]})
+    assert got == want
 
 
 def test_connected_components_long_chain_converges(spark):
