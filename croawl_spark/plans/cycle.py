@@ -80,6 +80,14 @@ class CrawlConfig:
     m_bits: int = 1 << 15        # bloom bits per bucket (auto-doubled, see fp_max)
     fp_max: float = 0.05         # rebuild the filter when projected FP crosses this
     use_filter: bool = True
+    # frontier checkpointing: "tombstone" appends O(batch) delete keys +
+    # O(new) add rows per cycle and resolves adds-minus-dels at read time
+    # (the Iceberg positional-delete shape — at 10^10 URLs a per-cycle
+    # O(frontier) rewrite is the last O(corpus) write in the loop);
+    # "rewrite" is the plain full-snapshot-per-cycle mode. Both produce
+    # byte-identical fetch logs.
+    frontier_mode: str = "tombstone"
+    frontier_compact_every: int = 8  # fold tombstones into one segment every K cycles
     shuffle_partitions: int | None = None
 
 
@@ -255,7 +263,11 @@ def bootstrap(
     seen = frontier.select("url_hash", "canon_url", "disc_seq")
     host_state = _robots_stage(frontier.select("host").distinct()).persist()
     frontier_allowed = _filter_allowed(frontier, host_state)
-    io.write_snapshot(frontier_allowed, "frontier", -1)
+    if cfg.frontier_mode == "tombstone":
+        frontier_tables = io.write_merge_delta(frontier_allowed, None, "frontier", -1)
+    else:
+        io.write_snapshot(frontier_allowed, "frontier", -1)
+        frontier_tables = ["frontier"]
     io.write_snapshot(seen, "seen", -1)  # first segment of the append-only seen log
     io.write_snapshot(host_state, "host_state", -1)
     if cfg.use_filter:
@@ -271,7 +283,7 @@ def bootstrap(
         counters["filter_m_bits"] = cfg.m_bits
     io.commit_cycle(
         -1,
-        ["frontier", "seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []),
+        frontier_tables + ["seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []),
         counters=counters,
     )
     frontier.unpersist()
@@ -310,7 +322,12 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
             print(f"  [cycle {cycle}] {label}: {now - _t0[0]:.1f}s", flush=True)
             _t0[0] = now
 
-    frontier = io.read_snapshot("frontier", cycle - 1)
+    if cfg.frontier_mode == "tombstone":
+        # adds-minus-tombstones view: the dels side is O(cycles × batch),
+        # so AQE resolves it as a broadcast anti-join — no frontier shuffle
+        frontier = io.read_merge("frontier", cycle - 1)
+    else:
+        frontier = io.read_snapshot("frontier", cycle - 1)
     # seen is an APPEND-ONLY log (bootstrap segment + one delta per cycle):
     # at 10^10 URLs a full rewrite per cycle would be O(corpus); appends are
     # O(delta) — the Iceberg-append pattern (TableIO emulates it)
@@ -477,10 +494,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     host_state_next = hs_known.unionByName(_robots_stage(new_hosts)).persist()
 
     # frontier: remove the fetched batch, insert allowed new rows
-    remaining = frontier.join(
-        batch.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
-    )
-    frontier_next = remaining.unionByName(_filter_allowed(new_rows, host_state_next))
+    new_allowed = _filter_allowed(new_rows, host_state_next)
 
     # 7. metrics (per hash-bucket lineage) + checkpoint commit.
     # urls_scheduled/urls_parsed/spans_parsed are genuinely PER BUCKET (sum
@@ -522,15 +536,49 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     io.write_snapshot(cs_delta, "content_seen", cycle)
     _mark("write content-seen")
     io.write_snapshot(metrics, "metrics", cycle)
-    io.write_snapshot(frontier_next, "frontier", cycle)
-    _mark("write frontier")
+    replace_tables: dict[str, list[int]] | None = None
+    if cfg.frontier_mode == "tombstone":
+        compact_now = (
+            cfg.frontier_compact_every > 0
+            and (cycle + 1) % cfg.frontier_compact_every == 0
+        )
+        if compact_now:
+            # amortized O(frontier) rewrite (1 cycle in K): the resolved
+            # view becomes the sole adds segment, the tombstone log empties
+            # — both in the cycle's one atomic manifest commit
+            frontier_next = frontier.join(
+                batch.select("url_hash", "canon_url"),
+                ["url_hash", "canon_url"],
+                "left_anti",
+            ).unionByName(new_allowed)
+            frontier_tables = io.write_merge_delta(
+                frontier_next, None, "frontier", cycle
+            )
+            replace_tables = {"frontier__adds": [cycle], "frontier__dels": []}
+            _mark("write frontier (compacted)")
+        else:
+            # the O(delta) steady state: O(new) adds + O(batch) delete keys
+            frontier_tables = io.write_merge_delta(
+                new_allowed,
+                batch.select("url_hash", "canon_url"),
+                "frontier",
+                cycle,
+            )
+            _mark("write frontier delta")
+    else:
+        frontier_next = frontier.join(
+            batch.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+        ).unionByName(new_allowed)
+        io.write_snapshot(frontier_next, "frontier", cycle)
+        frontier_tables = ["frontier"]
+        _mark("write frontier")
     io.write_snapshot(seen_delta, "seen", cycle)
     _mark("write seen delta")
     io.write_snapshot(host_state_next, "host_state", cycle)
     committed = [
         "fetch_log", "documents", "metadata", "metrics",
-        "frontier", "seen", "host_state", "content_dups", "content_seen",
-    ]
+        "seen", "host_state", "content_dups", "content_seen",
+    ] + frontier_tables
     new_counters = {
         "total_fetches": fetch_base + n_sched,
         "next_disc_seq": seen_base + int(n_new),
@@ -562,7 +610,10 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         committed.append("seen_filter")
         new_counters["filter_n_buckets"] = geo_buckets
         new_counters["filter_m_bits"] = geo_m
-    io.commit_cycle(cycle, committed, counters=new_counters)
+    io.commit_cycle(cycle, committed, counters=new_counters, replace=replace_tables)
+    if replace_tables:
+        for t in replace_tables:
+            io.prune_orphans(t)
     for df in (fetched, host_state_next):
         df.unpersist()
     return {"cycle": cycle, "scheduled": n_sched, "parsed": int(n_parsed_df["n"]),

@@ -52,16 +52,30 @@ class TableIO:
             return {"tables": {}, "last_cycle": -1}
 
     def commit_cycle(
-        self, cycle: int, tables: list[str], counters: dict | None = None
+        self,
+        cycle: int,
+        tables: list[str],
+        counters: dict | None = None,
+        replace: dict[str, list[int]] | None = None,
     ) -> None:
         """counters: engine scalars (total_fetches, next_disc_seq, ...)
         committed atomically WITH the cycle — replaces per-cycle count jobs
-        and stays consistent on replay."""
+        and stays consistent on replay.
+
+        replace: {table: [cycles]} entries OVERWRITE that table's segment
+        list in the same atomic manifest swap — used by merge-table
+        compaction so "new compacted segment becomes the only segment AND
+        the delete log empties" is one commit, not two (a crash between
+        two separate commits could otherwise resurrect stale deletes).
+        Old directories are NOT removed here; call prune_orphans after."""
         m = self.read_manifest()
         for t in tables:
             cs = m["tables"].setdefault(t, [])
             if cycle not in cs:
                 cs.append(cycle)
+        if replace:
+            for t, cs in replace.items():
+                m["tables"][t] = list(cs)
         m["last_cycle"] = max(m["last_cycle"], cycle)
         if counters:
             m.setdefault("counters", {}).update(counters)
@@ -93,6 +107,10 @@ class TableIO:
         if cycle is not None:
             cycles = [c for c in cycles if c <= cycle]
         if not cycles:
+            if f"{table}__adds" in m["tables"]:
+                # the table is checkpointed as a merge table (tombstone
+                # mode): readers get the same resolved view transparently
+                return self.read_merge(table, cycle)
             raise FileNotFoundError(f"no committed snapshot for {table}")
         return self.spark.read.parquet(self._dir(table, max(cycles)))
 
@@ -132,6 +150,86 @@ class TableIO:
         for c in old_cycles:
             if c != cycle:
                 shutil.rmtree(self._dir(table, c), ignore_errors=True)
+
+    # -- merge tables (append + tombstone deletes) ---------------------------
+    # The Iceberg positional/equality-delete emulation (VERDICT r02 item #2):
+    # a "merge table" T is two log tables, T__adds and T__dels. Per cycle the
+    # engine appends O(new) add rows and O(batch) delete keys; the resolved
+    # view is adds MINUS dels under a cycle-aware anti-join. This turns the
+    # frontier checkpoint from an O(frontier) rewrite per cycle into an
+    # O(batch + new) append — the only remaining per-cycle O(corpus) write
+    # at the 10^10-URL design point. Iceberg mapping: MERGE INTO /
+    # positional delete files; compaction = rewrite_data_files.
+
+    def write_merge_delta(
+        self,
+        adds: DataFrame | None,
+        dels: DataFrame | None,
+        table: str,
+        cycle: int,
+        key_cols: list[str] | None = None,
+    ) -> list[str]:
+        """Uncommitted write of one cycle's delta; include the returned
+        table names in commit_cycle. ``_mseq`` (the writing cycle) is
+        stamped on both sides so the resolver can order adds vs deletes."""
+        written: list[str] = []
+        if adds is not None:
+            self.write_snapshot(
+                adds.withColumn("_mseq", F.lit(cycle).cast("long")),
+                f"{table}__adds",
+                cycle,
+            )
+            written.append(f"{table}__adds")
+        if dels is not None:
+            cols = key_cols or dels.columns
+            self.write_snapshot(
+                dels.select(*cols).withColumn("_mseq", F.lit(cycle).cast("long")),
+                f"{table}__dels",
+                cycle,
+            )
+            written.append(f"{table}__dels")
+        return written
+
+    def read_merge(self, table: str, upto_cycle: int | None = None) -> DataFrame:
+        """Resolved view: adds minus tombstones. A delete at cycle d kills
+        only rows ADDED STRICTLY BEFORE d (del._mseq > add._mseq): a key
+        deleted at d and legitimately re-added at a later cycle — or at d
+        itself, which is how the crawl's rediscovery-after-expiry composes
+        with same-cycle fetches — survives. The delete side is tiny
+        (O(cycles-since-compaction × batch)), so AQE resolves this as a
+        broadcast anti-join: no shuffle of the adds side at read time."""
+        adds = self.read_log(f"{table}__adds", upto_cycle)
+        try:
+            dels = self.read_log(f"{table}__dels", upto_cycle)
+        except FileNotFoundError:
+            return adds.drop("_mseq")
+        key_cols = [c for c in dels.columns if c != "_mseq"]
+        d = dels.select(
+            *[F.col(c).alias(f"_d_{c}") for c in key_cols],
+            F.col("_mseq").alias("_d_mseq"),
+        )
+        cond = F.col(f"_d_{key_cols[0]}") == F.col(key_cols[0])
+        for c in key_cols[1:]:
+            cond = cond & (F.col(f"_d_{c}") == F.col(c))
+        cond = cond & (F.col("_d_mseq") > F.col("_mseq"))
+        return adds.join(d, cond, "left_anti").drop("_mseq")
+
+    def prune_orphans(self, table: str) -> None:
+        """Remove segment directories no longer referenced by the manifest
+        (lazy cleanup after a replace-commit; orphans are harmless because
+        every read goes through the manifest)."""
+        live = set(self.read_manifest()["tables"].get(table, []))
+        root = os.path.join(self.base, table)
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            if name.startswith("cycle="):
+                try:
+                    c = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if c not in live:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)

@@ -235,6 +235,87 @@ def test_enable_filter_mid_crawl(spark):
         assert io.read_snapshot("seen_filter").count() == CFG.n_buckets
 
 
+def test_tableio_merge_semantics(spark, tmp_path):
+    """Cycle-aware tombstone resolution: a delete kills only STRICTLY
+    earlier adds, so re-add-after-delete and same-cycle add+delete both
+    survive (the expiry-rediscovery and fetch-while-rediscovered cases);
+    compaction folds everything into one segment atomically."""
+    io = TableIO(spark, str(tmp_path / "w"))
+
+    def add(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def dels(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    io.commit_cycle(0, io.write_merge_delta(add([(1, "a"), (2, "b")]), None, "t", 0))
+    io.commit_cycle(1, io.write_merge_delta(add([(3, "c")]), dels([1]), "t", 1))
+    io.commit_cycle(2, io.write_merge_delta(add([(1, "a2"), (9, "z")]), dels([2, 9]), "t", 2))
+
+    assert {tuple(r) for r in io.read_merge("t", 1).collect()} == {(2, "b"), (3, "c")}
+    want = {(3, "c"), (1, "a2"), (9, "z")}
+    assert {tuple(r) for r in io.read_merge("t").collect()} == want
+    # read_snapshot falls back to the resolved merge view transparently
+    assert {tuple(r) for r in io.read_snapshot("t").collect()} == want
+
+    # compaction: resolved view becomes the only segment, dels empty — one
+    # atomic replace-commit, then lazy orphan pruning
+    resolved = io.read_merge("t")
+    written = io.write_merge_delta(resolved, None, "t", 3)
+    io.commit_cycle(3, written, replace={"t__adds": [3], "t__dels": []})
+    io.prune_orphans("t__adds")
+    io.prune_orphans("t__dels")
+    assert {tuple(r) for r in io.read_merge("t").collect()} == want
+    m = io.read_manifest()
+    assert m["tables"]["t__adds"] == [3] and m["tables"]["t__dels"] == []
+    import os
+
+    assert os.listdir(os.path.join(io.base, "t__adds")) == ["cycle=3"]
+    # deletes still compose after compaction
+    io.commit_cycle(4, io.write_merge_delta(None, dels([3]), "t", 4))
+    assert {tuple(r) for r in io.read_merge("t").collect()} == {(1, "a2"), (9, "z")}
+
+
+def test_tombstone_frontier_equals_rewrite_and_compacts(spark):
+    """VERDICT r02 item #2 done-criteria: O(delta) frontier checkpointing
+    must leave the fetch log AND the resolved frontier byte-identical to
+    the full-rewrite engine, survive an interrupt+resume across a
+    compaction boundary, and actually write only O(batch+new) rows on
+    non-compact cycles."""
+    seeds = synth.gen_seeds(60)
+    ts = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12,
+                     frontier_mode="tombstone", frontier_compact_every=3)
+    rw = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12,
+                     frontier_mode="rewrite")
+    with tempfile.TemporaryDirectory() as d:
+        io_ts = run_crawl(spark, seeds, 5, f"{d}/ts", ts)
+        io_rw = run_crawl(spark, seeds, 5, f"{d}/rw", rw)
+        assert _spark_log_rows(io_ts) == _spark_log_rows(io_rw)
+        cols = io_rw.read_snapshot("frontier").columns
+        a = sorted(tuple(r) for r in io_ts.read_snapshot("frontier").select(*cols).collect())
+        b = sorted(tuple(r) for r in io_rw.read_snapshot("frontier").collect())
+        assert a == b
+        # compaction fired at cycle 2 ((2+1) % 3 == 0): one adds segment
+        # there, deltas after, and no tombstones older than the compaction
+        m = io_ts.read_manifest()
+        assert m["tables"]["frontier__adds"] == [2, 3, 4]
+        assert m["tables"]["frontier__dels"] == [3, 4]
+        # O(delta) write volume: cycle 3's segments hold the cycle's new
+        # URLs and fetched batch only — strictly smaller than the frontier
+        adds3 = spark.read.parquet(f"{d}/ts/frontier__adds/cycle=3").count()
+        dels3 = spark.read.parquet(f"{d}/ts/frontier__dels/cycle=3").count()
+        n_batch3 = io_ts.read_log("fetch_log").filter(F.col("cycle") == 3).count()
+        assert dels3 == n_batch3
+        n_frontier = io_ts.read_snapshot("frontier").count()
+        assert adds3 + dels3 < n_frontier
+        # resume across the compaction boundary: stop after cycle 2's
+        # commit (post-compaction), resume to 5 -> identical log
+        io_part = run_crawl(spark, seeds, 3, f"{d}/part", ts)
+        assert io_part.read_manifest()["tables"]["frontier__adds"] == [2]
+        io_res = run_crawl(spark, seeds, 5, f"{d}/part", ts, resume=True)
+        assert _spark_log_rows(io_res) == _spark_log_rows(io_rw)
+
+
 def test_salted_topk_equals_plain_topk(spark):
     """W1 correctness: the salted two-phase ranking must select EXACTLY the
     rows a plain per-host window would (salt defuses skew, never changes
