@@ -1,0 +1,183 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Beyond the reference crawler's own surface (SURVEY.md §2 is fully covered
+elsewhere): the operations a large-scale LLM-training data pipeline runs on
+the crawled corpus — relevance scoring, deterministic dataset splits, and
+token-budget sequence packing. All three are pure built-in-function
+DataFrame plans (no Python in the hot path) with exact ANSI-SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from croawl_spark.operators.ranking import global_sequence  # noqa: F401 (re-export family)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Cluster-size-invariant INCLUSIVE cumulative sum over a global total
+    order — without the single-partition window that makes the naive
+    ``SUM() OVER (ORDER BY ...)`` a serial bottleneck at scale.
+
+    Two-phase, mirroring ranking.global_sequence: range-partition on the
+    order columns (parallel sort), take each partition's value sum (an
+    O(#partitions) collect), then cumsum within partitions plus the exact
+    offset of all earlier partitions. Output depends only on the data
+    (order_cols must be a total order); range boundaries affect placement,
+    never values. value_col must be integral — offsets stay exact.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    parted = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.join(off_df, "_pid")
+        .withColumn(out_col, (F.sum(value_col).over(w) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in id order) to
+    training batches of ~``budget`` whitespace tokens.
+
+    batch_id = floor(tokens_before_this_doc / budget) — the scalable
+    quantization of greedy packing (true greedy restart-on-overflow is
+    inherently sequential; this form is a pure function of the global
+    cumsum, so it distributes, and a batch overflows by at most one
+    document). -> (id, n_tokens, cum_tokens, batch_id).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
+    )
+    cum = global_cumsum(toks, [id_col], "n_tokens", "cum_tokens")
+    return cum.withColumn(
+        "batch_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    of the id: bucket = first 4 hex chars of md5(id) mod 100. Stable across
+    runs, engines and cluster sizes (md5 is bit-identical everywhere —
+    unlike xxhash64/hash, which are engine-specific), so the split never
+    silently reshuffles when the pipeline is re-run or re-platformed.
+    -> (id, bucket, split) with P(val) = val_pct%, P(test) = test_pct%.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of each document to a bag-of-terms query (Robertson/
+    Sparck Jones; the corpus-curation form used to mine topical subsets).
+
+    Scale shape: the per-token explode is pre-filtered to the query terms
+    with a JVM array filter, so the exploded stream — and the (doc, term)
+    shuffle behind the tf aggregate — carries only query-term hits, never
+    the corpus token stream. Corpus stats (N, avgdl) ride a broadcast
+    one-row cross join; df per term is a tiny broadcast join. Scores are
+    rounded to 4 decimals (cross-engine float-parity margin).
+
+    -> (id, bm25) for documents matching >= 1 term.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).cast("long").alias("_dl"),
+        F.filter(
+            F.split(text_col, " "), lambda x: F.array_contains(terms, x)
+        ).alias("_hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), "_dl", F.explode("_hits").alias("_t"))
+        .groupBy(F.col(id_col), "_dl", "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = (
+        base.select(F.explode(F.array_distinct("_hits")).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "_t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf", F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+        )
+        .withColumn(
+            "_term_score",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1.0))
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_term_score"), 4).alias("bm25"))
+    )

@@ -66,10 +66,60 @@ from croawl_spark.functions import urls as U
 
 from croawl_spark.operators.dedup import first_wins
 from croawl_spark.operators.ranking import global_sequence, salted_topk
-from croawl_spark.operators.seenfilter import build_filter, probe_filter
+from croawl_spark.operators.seenfilter import (
+    _CK_SLOTS,
+    build_cuckoo_filter,
+    build_filter,
+    probe_cuckoo,
+    probe_filter,
+)
 from croawl_spark.sources.tableio import TableIO
 
 BASE_TIME = _dt.datetime(2024, 1, 1)
+
+
+def _filter_geo(cfg: "CrawlConfig") -> int:
+    """Per-kind geometry scalar: bloom -> bits/bucket, cuckoo -> slots/bucket."""
+    return cfg.m_slots if cfg.filter_kind == "cuckoo" else cfg.m_bits
+
+
+def _geo_counter(kind: str) -> str:
+    return "filter_m_slots" if kind == "cuckoo" else "filter_m_bits"
+
+
+def _build_seen_filter(
+    kind: str, seen: DataFrame, n_buckets: int, geo: int, existing=None
+) -> DataFrame:
+    if kind == "cuckoo":
+        return build_cuckoo_filter(seen, n_buckets, geo, existing=existing)
+    return build_filter(seen, n_buckets, geo, existing=existing)
+
+
+def _probe_seen_filter(
+    kind: str, cand: DataFrame, filt: DataFrame, n_buckets: int, geo: int
+) -> DataFrame:
+    if kind == "cuckoo":
+        return probe_cuckoo(cand, filt, n_buckets, geo)
+    return probe_filter(cand, filt, n_buckets, geo)
+
+
+def _write_filter_resilient(
+    io: TableIO, filt_next: DataFrame, cycle: int,
+    kind: str, n_buckets: int, geo: int, full_seen: DataFrame,
+) -> int:
+    """Write the filter snapshot; on cuckoo eviction-chain overflow (raised
+    by the build kernel — hash skew can saturate one AMQ bucket while the
+    average load looks fine) double the geometry and rebuild from the exact
+    seen log until it fits. Returns the final geometry."""
+    while True:
+        try:
+            io.write_snapshot(filt_next, "seen_filter", cycle)
+            return geo
+        except Exception as e:  # Py4J wraps the worker RuntimeError
+            if "cuckoo bucket" not in str(e):
+                raise
+            geo *= 2
+            filt_next = _build_seen_filter(kind, full_seen, n_buckets, geo)
 
 
 @dataclass
@@ -80,6 +130,14 @@ class CrawlConfig:
     m_bits: int = 1 << 15        # bloom bits per bucket (auto-doubled, see fp_max)
     fp_max: float = 0.05         # rebuild the filter when projected FP crosses this
     use_filter: bool = True
+    # AMQ kind: "bloom" (insert-only; expiry rebuilds) or "cuckoo"
+    # (supports streamed deletions — recrawl-TTL expiry deletes the expired
+    # hashes from the filter instead of rebuilding it). Both are exact
+    # prefilters: FPs are erased by the anti-join, FNs are impossible
+    # (cuckoo deletion is copy-safe: every distinct URL inserts its own
+    # fingerprint copy, so deleting one URL cannot unmark a collider).
+    filter_kind: str = "bloom"
+    m_slots: int = 1 << 12       # cuckoo slots/bucket (capacity 4x, power of 2)
     # frontier checkpointing: "tombstone" appends O(batch) delete keys +
     # O(new) add rows per cycle and resolves adds-minus-dels at read time
     # (the Iceberg positional-delete shape — at 10^10 URLs a per-cycle
@@ -201,22 +259,22 @@ def _robots_stage(hosts: DataFrame) -> DataFrame:
     return hosts.mapInPandas(rob, _HOST_ROBOTS_OUT)
 
 
-def _robots_allowed_col() -> F.Column:
-    """F6 predicate as a vectorized pandas UDF over (rules, path)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    @pandas_udf(BooleanType())
-    def _allowed(rules: pd.Series, paths: pd.Series) -> pd.Series:
-        def one(rp):
-            rules_i, path = rp
-            if rules_i is None:
-                return True
-            return R.allowed([(r["allow"], r["path_prefix"]) for r in rules_i], path)
-
-        return pd.Series(map(one, zip(rules, paths)))
-
-    return _allowed
+def _robots_allowed_expr(rules: F.Column, path: F.Column) -> F.Column:
+    """F6 longest-prefix predicate as pure JVM higher-order array functions
+    (whole-stage codegen, zero Python in the hot path — this replaced the
+    last per-row Python loop in the cycle, VERDICT r02 item #7). Semantics
+    pinned to functions/robots.py:allowed, which the oracle simulator and
+    hypothesis tests share: longest matching prefix wins, allow wins
+    length ties, no rules / no match / unknown host -> allow."""
+    matches = F.filter(rules, lambda r: path.startswith(r["path_prefix"]))
+    mlen = F.array_max(F.transform(matches, lambda r: F.length(r["path_prefix"])))
+    return (
+        rules.isNull()
+        | (F.size(matches) == 0)
+        | F.exists(
+            matches, lambda r: r["allow"] & (F.length(r["path_prefix"]) == mlen)
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -270,17 +328,27 @@ def bootstrap(
         frontier_tables = ["frontier"]
     io.write_snapshot(seen, "seen", -1)  # first segment of the append-only seen log
     io.write_snapshot(host_state, "host_state", -1)
+    geo = _filter_geo(cfg)
     if cfg.use_filter:
-        filt = build_filter(seen, cfg.n_buckets, cfg.m_bits)
-        io.write_snapshot(filt, "seen_filter", -1)
+        if cfg.filter_kind == "cuckoo":
+            # proactive pre-size: keep average load <= 80% of slots
+            per_bucket = -(-int(n_seeds) // cfg.n_buckets)
+            while per_bucket > int(0.8 * geo * _CK_SLOTS):
+                geo *= 2
+        filt = _build_seen_filter(cfg.filter_kind, seen, cfg.n_buckets, geo)
+        geo = _write_filter_resilient(
+            io, filt, -1, cfg.filter_kind, cfg.n_buckets, geo,
+            seen.select("url_hash"),
+        )
     counters = {"total_fetches": 0, "next_disc_seq": int(n_seeds)}
     if cfg.use_filter:
-        # filter GEOMETRY is part of the committed state: blobs are only
-        # probeable under the (n_buckets, m_bits) they were built with, so
-        # a resume with different config must trigger a rebuild, never a
-        # silent mis-probe (bloom false negatives = refetch storms)
+        # filter KIND + GEOMETRY are part of the committed state: blobs are
+        # only probeable under the (kind, n_buckets, geometry) they were
+        # built with, so a resume with different config must trigger a
+        # rebuild, never a silent mis-probe (false negatives = refetch storms)
+        counters["filter_kind"] = cfg.filter_kind
         counters["filter_n_buckets"] = cfg.n_buckets
-        counters["filter_m_bits"] = cfg.m_bits
+        counters[_geo_counter(cfg.filter_kind)] = geo
     io.commit_cycle(
         -1,
         frontier_tables + ["seen", "host_state"] + (["seen_filter"] if cfg.use_filter else []),
@@ -297,12 +365,11 @@ def _filter_allowed(rows: DataFrame, host_state: DataFrame) -> DataFrame:
     identical (denied rows could never be scheduled anyway). Production
     note: with robots TTLs, re-validate at schedule time for expired hosts.
     """
-    allowed_udf = _robots_allowed_col()
     cols = [f.name for f in tables.FRONTIER.fields]
     return (
         rows.join(F.broadcast(host_state.select("host", "robots_rules")), "host", "left")
         .withColumn("path", U.path_of("canon_url"))
-        .filter(allowed_udf(F.col("robots_rules"), F.col("path")))
+        .filter(_robots_allowed_expr(F.col("robots_rules"), F.col("path")))
         .select(*cols)
     )
 
@@ -340,20 +407,25 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         except FileNotFoundError:
             pass  # filter enabled mid-crawl: rebuilt from the seen log below
 
-    # filter geometry comes from the COMMITTED counters, not cfg: bit blobs
-    # are only probeable under the geometry they were built with. A resume
-    # under different cfg rebuilds from the exact seen log (O(seen), rare)
-    # instead of silently mis-probing (bloom false negatives -> refetches).
+    # filter kind+geometry come from the COMMITTED counters, not cfg: bit
+    # blobs are only probeable under the (kind, geometry) they were built
+    # with. A resume under different cfg rebuilds from the exact seen log
+    # (O(seen), rare) instead of silently mis-probing (false negatives ->
+    # refetches) — this also makes switching bloom<->cuckoo mid-crawl safe.
     counters = io.counters()
+    geo_kind = str(counters.get("filter_kind", cfg.filter_kind))
     geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
-    geo_m = int(counters.get("filter_m_bits", cfg.m_bits))
+    geo = int(counters.get(_geo_counter(geo_kind), _filter_geo(cfg)))
     if cfg.use_filter and (
-        filt is None or geo_buckets != cfg.n_buckets or geo_m < cfg.m_bits
+        filt is None
+        or geo_kind != cfg.filter_kind
+        or geo_buckets != cfg.n_buckets
+        or geo < _filter_geo(cfg)
     ):
-        # (committed m_bits LARGER than cfg is fine — that's the auto-sizer
-        # having grown a new generation; keep it, don't shrink-thrash)
-        geo_buckets, geo_m = cfg.n_buckets, cfg.m_bits
-        filt = build_filter(seen, geo_buckets, geo_m)
+        # (committed geometry LARGER than cfg is fine — that's the auto-
+        # sizer having grown a new generation; keep it, don't shrink-thrash)
+        geo_kind, geo_buckets, geo = cfg.filter_kind, cfg.n_buckets, _filter_geo(cfg)
+        filt = _build_seen_filter(geo_kind, seen, geo_buckets, geo)
 
     # due-time gate (J2 broadcast join: hosts << frontier). Robots were
     # enforced at insert time — the frontier contains only allowed rows.
@@ -450,7 +522,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     )
     ded = first_wins(links, "canon_url", ["parent_fetch_seq", "link_pos"])
     if cfg.use_filter and filt is not None:
-        probed = probe_filter(ded, filt, geo_buckets, geo_m)
+        probed = _probe_seen_filter(geo_kind, ded, filt, geo_buckets, geo)
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(seen, ["url_hash", "canon_url"], "left_anti")
@@ -585,31 +657,44 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         "last_cycle_wall_ms": _cycle_wall_ms,
     }
     if cfg.use_filter:
-        # auto-sizing: m_bits is fixed per filter generation (incremental
-        # OR-merges require it), so when the committed load pushes the
-        # projected FP past fp_max we START A NEW GENERATION — double
-        # m_bits until under target and rebuild from the exact seen log.
-        # FP never affects crawl output (exact anti-join erases it); this
-        # bounds the wasted anti-join probe volume as the corpus grows.
+        # auto-sizing: geometry is fixed per filter generation (incremental
+        # merges require it), so when the committed load pushes the filter
+        # past its design point we START A NEW GENERATION — double the
+        # geometry until under target and rebuild from the exact seen log.
+        # bloom signal: projected FP > fp_max (FP never affects crawl
+        # output, this only bounds wasted anti-join probe volume); cuckoo
+        # signal: slot load factor > 0.85 (insert overflow would raise).
         from croawl_spark.operators.seenfilter import projected_fp
 
         total_seen = seen_base + int(n_new)
         per_bucket = -(-total_seen // geo_buckets)  # ceil
         resized = False
-        while projected_fp(per_bucket, geo_m) > cfg.fp_max:
-            geo_m *= 2
-            resized = True
+        if geo_kind == "cuckoo":
+            while per_bucket > int(0.8 * geo * _CK_SLOTS):
+                geo *= 2
+                resized = True
+        else:
+            while projected_fp(per_bucket, geo) > cfg.fp_max:
+                geo *= 2
+                resized = True
+        all_seen = seen.unionByName(seen_delta).select("url_hash")
         if resized:
-            all_seen = seen.unionByName(seen_delta).select("url_hash")
-            filt_next = build_filter(all_seen, geo_buckets, geo_m)
+            filt_next = _build_seen_filter(geo_kind, all_seen, geo_buckets, geo)
         else:
             delta = new_rows.select("url_hash")
-            filt_next = build_filter(delta, geo_buckets, geo_m, existing=filt)
-        io.write_snapshot(filt_next, "seen_filter", cycle)
-        _mark("bloom rebuild" + (" (resized)" if resized else ""))
+            filt_next = _build_seen_filter(
+                geo_kind, delta, geo_buckets, geo, existing=filt
+            )
+        # hash skew can overflow one cuckoo bucket while the average load
+        # is fine — the resilient writer doubles geometry and rebuilds
+        geo = _write_filter_resilient(
+            io, filt_next, cycle, geo_kind, geo_buckets, geo, all_seen
+        )
+        _mark(f"{geo_kind} filter update" + (" (resized)" if resized else ""))
         committed.append("seen_filter")
+        new_counters["filter_kind"] = geo_kind
         new_counters["filter_n_buckets"] = geo_buckets
-        new_counters["filter_m_bits"] = geo_m
+        new_counters[_geo_counter(geo_kind)] = geo
     io.commit_cycle(cycle, committed, counters=new_counters, replace=replace_tables)
     if replace_tables:
         for t in replace_tables:

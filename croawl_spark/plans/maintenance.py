@@ -9,11 +9,12 @@ scheduler (unreferenced pages age out of the crawl entirely).
 
 Scale shape: one anti-join keyed on (url_hash, canon_url) producing the
 retained seen set, one log compaction (O(retained) rewrite — amortized:
-run every ~ttl cycles, not every cycle), one filter rebuild. The bloom
+run every ~ttl cycles, not every cycle), one filter update. The bloom
 filter cannot delete, so expiry rebuilds it from the retained set (this is
-exactly the auto-sizer's rebuild path); a cuckoo-backed deployment would
-instead stream the expired hashes through ``build_cuckoo_filter(...,
-deletes=expired)`` and skip the rebuild.
+exactly the auto-sizer's rebuild path); a cuckoo crawl
+(CrawlConfig.filter_kind="cuckoo") instead STREAMS the expired hashes as
+deletions through ``build_cuckoo_filter(..., deletes=expired)`` — an
+O(expired) update, no O(seen) rebuild.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from croawl_spark.operators.seenfilter import build_filter
+from croawl_spark.operators.seenfilter import build_cuckoo_filter, build_filter
 from croawl_spark.sources.tableio import TableIO
 
 
@@ -51,13 +52,24 @@ def expire_recrawl(
     n_exp = seen.count() - retained.count()
     io.compact_log(retained, "seen", last + 1)
     counters = io.counters()
+    geo_kind = str(counters.get("filter_kind", getattr(cfg, "filter_kind", "bloom")))
     geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
-    geo_m = int(counters.get("filter_m_bits", cfg.m_bits))
     if cfg.use_filter:
-        io.write_snapshot(
-            build_filter(retained.select("url_hash"), geo_buckets, geo_m),
-            "seen_filter",
-            last + 1,
-        )
+        if geo_kind == "cuckoo":
+            # O(expired) streamed deletion — the reason cuckoo is offered:
+            # no O(seen) rebuild, the existing blobs are updated in place
+            geo_slots = int(counters.get("filter_m_slots", cfg.m_slots))
+            filt = io.read_snapshot("seen_filter")
+            empty = spark.createDataFrame([], "url_hash long")
+            filt_next = build_cuckoo_filter(
+                empty, geo_buckets, geo_slots,
+                existing=filt, deletes=expired.select("url_hash"),
+            )
+        else:
+            geo_m = int(counters.get("filter_m_bits", cfg.m_bits))
+            filt_next = build_filter(
+                retained.select("url_hash"), geo_buckets, geo_m
+            )
+        io.write_snapshot(filt_next, "seen_filter", last + 1)
         io.commit_cycle(last + 1, ["seen_filter"])
     return {"expired": int(n_exp), "retained": int(retained.count())}

@@ -235,6 +235,67 @@ def test_enable_filter_mid_crawl(spark):
         assert io.read_snapshot("seen_filter").count() == CFG.n_buckets
 
 
+def test_cuckoo_filter_crawl_equals_bloom(spark):
+    """filter_kind='cuckoo' is a drop-in AMQ: fetch log + seen set must be
+    byte-identical to the bloom crawl (and hence to the oracle), including
+    through the auto-sizer (tiny m_slots forces a mid-crawl regeneration)."""
+    seeds = synth.gen_seeds(60)
+    ck = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=4,
+                     filter_kind="cuckoo", m_slots=16)  # forces auto-resize
+    with tempfile.TemporaryDirectory() as d:
+        io_ck = run_crawl(spark, seeds, 3, f"{d}/ck", ck)
+        io_bl = run_crawl(spark, seeds, 3, f"{d}/bl", CFG)
+        assert _spark_log_rows(io_ck) == _spark_log_rows(io_bl)
+        a = {r["canon_url"]: r["disc_seq"] for r in io_ck.read_log("seen").collect()}
+        b = {r["canon_url"]: r["disc_seq"] for r in io_bl.read_log("seen").collect()}
+        assert a == b
+        c = io_ck.counters()
+        assert c["filter_kind"] == "cuckoo"
+        assert c["filter_m_slots"] > 16, "cuckoo auto-sizer never fired"
+        assert io_ck.read_snapshot("seen_filter").filter("kind != 'cuckoo'").count() == 0
+
+
+def test_expire_recrawl_cuckoo_streams_deletes(spark):
+    """Cuckoo expiry: the expired hashes are DELETED from the existing
+    blobs (O(expired), no O(seen) rebuild) — expired URLs then pass the
+    probe as new, retained URLs still probe maybe-seen (deletion is
+    copy-safe, no false negatives), and the continued crawl matches the
+    bloom-expiry continuation exactly."""
+    from croawl_spark.operators.seenfilter import probe_cuckoo, probe_filter
+    from croawl_spark.plans.maintenance import expire_recrawl
+
+    seeds = synth.gen_seeds(60)
+    ck = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, filter_kind="cuckoo")
+
+    def crawl_expire_continue(d, cfg, probe):
+        io = run_crawl(spark, seeds, 3, d, cfg)
+        stats = expire_recrawl(spark, io, ttl=2, cfg=cfg)
+        assert stats["expired"] > 0
+        counters = io.counters()
+        nb = int(counters["filter_n_buckets"])
+        geo = int(counters.get("filter_m_slots", counters.get("filter_m_bits", 0)))
+        filt = io.read_snapshot("seen_filter")
+        log = io.read_log("fetch_log")
+        expired = (
+            log.groupBy("url_hash", "canon_url").agg(F.max("cycle").alias("lc"))
+            .filter("lc <= 0").select("url_hash", "canon_url")
+        )
+        retained = io.read_log("seen")
+        # expired URLs probe definitely-new; retained have no false negatives
+        assert probe(expired, filt, nb, geo).filter(F.col("maybe_seen")).count() == 0
+        assert (
+            probe(retained.select("url_hash"), filt, nb, geo)
+            .filter(~F.col("maybe_seen")).count() == 0
+        )
+        io = run_crawl(spark, seeds, 6, d, cfg, resume=True)
+        return _spark_log_rows(io)
+
+    with tempfile.TemporaryDirectory() as d:
+        got = crawl_expire_continue(f"{d}/ck", ck, probe_cuckoo)
+        want = crawl_expire_continue(f"{d}/bl", CFG, probe_filter)
+        assert got == want
+
+
 def test_tableio_merge_semantics(spark, tmp_path):
     """Cycle-aware tombstone resolution: a delete kills only STRICTLY
     earlier adds, so re-add-after-delete and same-cycle add+delete both

@@ -167,3 +167,50 @@ def test_salted_ranking_partitions_by_salt(spark):
     p = _plan(spark, df, "extended")
     # phase 1 partitions by (host, salt-expression), phase 2 by host only
     assert "pmod" in p and p.count("Window") >= 2
+
+
+def test_robots_expr_equals_python_predicate(spark):
+    """The JVM higher-order-function robots predicate must agree with the
+    pinned python longest-prefix implementation (which the oracle simulator
+    shares) on randomized rule sets, including null/empty rules and
+    allow-wins-ties cases."""
+    import random
+
+    from croawl_spark.functions.robots import allowed
+    from croawl_spark.plans.cycle import _robots_allowed_expr
+
+    rnd = random.Random(7)
+    prefixes = ["/", "/a", "/a/b", "/ab", "/b", "/b/c", "/abc", "/a/b/c"]
+    rows = []
+    for i in range(300):
+        rules = [
+            (rnd.random() < 0.5, rnd.choice(prefixes))
+            for _ in range(rnd.randrange(0, 5))
+        ]
+        path = rnd.choice(prefixes) + rnd.choice(["", "/x", "c", "/deep/deeper"])
+        rows.append((i, [{"allow": a, "path_prefix": p} for a, p in rules], path))
+    rows.append((300, None, "/a"))  # unknown host -> null rules -> allow
+    rows.append((301, [], "/a"))    # empty rules -> allow
+    # explicit allow-wins-tie: equal-length allow + disallow on the match
+    rows.append((302, [{"allow": True, "path_prefix": "/a"},
+                       {"allow": False, "path_prefix": "/a"}], "/a/x"))
+    df = spark.createDataFrame(
+        rows,
+        "i long, robots_rules array<struct<allow:boolean,path_prefix:string>>, "
+        "path string",
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i",
+            _robots_allowed_expr(F.col("robots_rules"), F.col("path")).alias("ok"),
+        ).collect()
+    }
+    for i, rules, path in rows:
+        want = (
+            True
+            if rules is None
+            else allowed([(r["allow"], r["path_prefix"]) for r in rules], path)
+        )
+        assert got[i] == want, (i, rules, path)
+    assert got[302] is True

@@ -419,6 +419,76 @@ def test_connected_components_huge_ids_no_sum_overflow(spark):
     assert got == want
 
 
+def test_pagerank_matches_numpy_oracle(spark):
+    """Spark PageRank (converging joins + dangling-mass redistribution)
+    vs a dense numpy power-method oracle with identical semantics."""
+    import random
+
+    import numpy as np
+
+    from croawl_spark.operators.pagerank import pagerank
+
+    rnd = random.Random(5)
+    n = 30
+    edges = sorted({(rnd.randrange(n), rnd.randrange(n)) for _ in range(80)})
+    edges = [(u, v) for u, v in edges if u != v]
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, set()).add(v)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(8):
+        nr = np.zeros(n)
+        flowed = 0.0
+        for u, vs in out.items():
+            flowed += r[u]
+            for v in vs:
+                nr[v] += r[u] / len(vs)
+        dang = (1.0 - flowed) / n
+        r = (1 - d) / n + d * (nr + dang)
+    verts = spark.range(n).select(F.col("id"))
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row["id"]: row["rank"] for row in pagerank(verts, e_df, n_iter=8).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, i
+
+
+def test_global_cumsum_matches_window_without_serial_exchange(spark):
+    """Two-phase distributed cumsum == the single-partition window form,
+    with NO SinglePartition exchange in the plan (the serial bottleneck it
+    exists to avoid)."""
+    from croawl_spark.operators.corpus import global_cumsum
+
+    d = spark.range(1000).select(F.col("id"), (F.col("id") % 7 + 1).alias("v"))
+    got = global_cumsum(d, ["id"], "v", "cum")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = d.withColumn("cum", F.sum("v").over(w).cast("long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_ranks_term_density(spark):
+    """Higher query-term density -> higher score; unmatched docs absent."""
+    from croawl_spark.operators.corpus import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark beats all"),
+            (2, "spark is here today maybe"),
+            (3, "nothing to see here folks"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_score(docs, "doc_id", "text", ["spark"]).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] > 0
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 20-hop chain (diameter 20) must still converge within max_iter and
     without plan blowup (localCheckpoint truncates lineage per round)."""
