@@ -24,9 +24,11 @@ Scale shape (the 100-TB argument):
     needs it.
   * per-round lineage is truncated with localCheckpoint, so the plan does
     not grow with iterations (the classic iterative-DataFrame trap).
-  * convergence detection is a single tiny agg per round: labels only
-    ever decrease, so an unchanged SUM(label) means a fixpoint — no
-    row-wise change join needed.
+  * convergence detection is a changed-label count fused into the round's
+    own aggregate (old label rides along as a tagged column): labels only
+    ever decrease, so zero rows with component < old is a fixpoint, found
+    at the convergent round itself with no extra confirmation round and
+    no arithmetic that could overflow.
 """
 
 from __future__ import annotations
@@ -60,52 +62,53 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
-    # convergence checksum: labels only ever decrease, so an unchanged sum
-    # is a fixpoint. Summed as decimal(38,0), NOT long — Spark's non-ANSI
-    # long SUM wraps silently on overflow, and with billions of large
-    # 64-bit ids a wrap that lands on the previous sum would falsely read
-    # as converged; decimal(38,0) cannot wrap at any realistic scale.
-    _sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_sum).collect()[0][0]
+    # Convergence = "no label changed this round", detected by carrying each
+    # vertex's OLD label through the round's aggregate (the labels branch is
+    # tagged _o=1; every id has exactly one such row) and counting
+    # component < _old on the checkpointed result. This (a) terminates at
+    # the convergent round itself — a checksum compare needs one extra
+    # confirmation round, measured ~25% slower at sf0.1 — and (b) is
+    # overflow-proof by construction (no arithmetic over labels; Spark's
+    # non-ANSI long SUM would wrap silently). The count is a trivial second
+    # job per round on just-checkpointed rows; the collected value is one
+    # scalar — never O(data) on the driver.
     for it in range(max_iter):
         parts = [
-            labels,
+            labels.withColumn("_o", F.lit(1)),
             e.join(labels, e.u == labels.id)
-            .select(F.col("v").alias("id"), "component"),
+            .select(F.col("v").alias("id"), "component")
+            .withColumn("_o", F.lit(0)),
         ]
         if it > 0:
             # pointer jumping (path compression): also adopt my label's
             # label — labels always point within the component, so this is
             # safe, and it turns O(diameter) rounds into O(log diameter).
             # Skipped in round 0 where labels are still the identity map.
+            # (A depth-2 jump — label³ — was measured at sf0.1: the extra
+            # self-join per round cost more than the rounds it saved.)
             parts.append(
                 labels.alias("a")
                 .join(labels.alias("b"), F.col("a.component") == F.col("b.id"))
                 .select(
                     F.col("a.id").alias("id"), F.col("b.component").alias("component")
                 )
+                .withColumn("_o", F.lit(0))
             )
-        new_labels = (
-            parts[0].unionByName(parts[1])
-            if len(parts) == 2
-            else parts[0].unionByName(parts[1]).unionByName(parts[2])
-        )
+        new_labels = parts[0]
+        for p in parts[1:]:
+            new_labels = new_labels.unionByName(p)
         new_labels = (
             new_labels.groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("_o") == 1, F.col("component"))).alias("_old"),
+            )
             .localCheckpoint()  # truncate lineage each round
         )
-        labels = new_labels
-        # check convergence only every second round (and on the last):
-        # with pointer jumping a fixpoint arrives in O(log diameter)
-        # rounds, so at most one extra cheap round runs, and the number of
-        # scalar collect actions — the dominant per-round constant at
-        # small scale — is halved.
-        if it % 2 == 1 or it == max_iter - 1:
-            new_sum = labels.agg(_sum).collect()[0][0]
-            if new_sum == prev_sum:  # labels are monotone non-increasing
-                break
-            prev_sum = new_sum
+        n_changed = new_labels.filter(F.col("component") < F.col("_old")).count()
+        labels = new_labels.select("id", "component")
+        if n_changed == 0:  # labels are monotone non-increasing => fixpoint
+            break
     e.unpersist()
     return labels
 
