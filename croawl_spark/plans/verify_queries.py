@@ -1068,6 +1068,26 @@ def q_sample_split(spark, sf):
     return split_assign(d, "doc_id", val_pct=10, test_pct=10)
 
 
+def q_join_range(spark, sf):
+    """Bucketed range join (operators/rangejoin.py): events within 1 hour
+    after each probe event — binned equi-join + residual filter, never a
+    nested-loop join (plan-tested in tests/test_training_ops.py)."""
+    from croawl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf, "events")
+    sec = F.unix_timestamp(F.col("ts"))  # NTZ read under UTC session TZ
+    pts = ev.select(F.col("event_id").alias("pid"), sec.alias("sec"))
+    ivals = ev.filter(F.pmod("user_id", F.lit(53)) == 0).select(
+        F.col("event_id").alias("iid"),
+        sec.alias("lo"),
+        (sec + 3600).alias("hi"),
+    )
+    pairs = range_join(ivals, pts, "iid", "lo", "hi", "pid", "sec", bin_width=900)
+    return pairs.groupBy(F.col("iid").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
 def q_host_rank(spark, sf):
     """Host-importance PageRank (crawl prioritization) over a deterministic
     synthetic link graph; fixed 8 iterations, dangling mass redistributed.
@@ -1103,10 +1123,11 @@ def q_host_rank(spark, sf):
 # Every key remains runnable regardless of position; rotation changes only
 # which 50 the driver re-verifies this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new round-3 corpus-prep operators --
+    # -- new round-3 operators --
     "bm25": q_bm25,
     "pack_sequences": q_pack_sequences,
     "sample_split": q_sample_split,
+    "join_range": q_join_range,
     # -- never-driver-sampled oracle keys (VERDICT r02 item #1) --
     "dedup_cluster": q_dedup_cluster,
     "dedup_incremental": q_dedup_incremental,
@@ -1138,7 +1159,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_frame": q_win_frame,
     "sort_multi": q_sort_multi,
     "topk": q_topk,
-    "fn_string": q_fn_string,
     "fn_map": q_fn_map,
     "fn_struct": q_fn_struct,
     "fn_json": q_fn_json,
@@ -1170,6 +1190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_date": q_fn_date,
     "fn_math": q_fn_math,
     "fn_array": q_fn_array,
+    "fn_string": q_fn_string,
     # rows-only / no-oracle by nature (independent semantic tests in tests/):
     "agg_approx": q_agg_approx,
     "bloom_roundtrip": q_bloom_roundtrip,
@@ -1218,6 +1239,16 @@ ORACLE: dict[str, str] = {
         "AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 10 THEN 'val' "
         "WHEN bucket < 20 THEN 'test' ELSE 'train' END AS split FROM b"
+    ),
+    "join_range": (
+        "WITH p AS (SELECT event_id AS pid, "
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events), "
+        "i AS (SELECT event_id AS iid, "
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS lo, "
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 3600 AS hi "
+        "FROM events WHERE user_id % 53 = 0) "
+        "SELECT iid AS event_id, COUNT(*) AS n_in_window FROM i "
+        "JOIN p ON p.sec BETWEEN i.lo AND i.hi GROUP BY iid"
     ),
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
     "project_basic": (

@@ -419,6 +419,33 @@ def test_connected_components_huge_ids_no_sum_overflow(spark):
     assert got == want
 
 
+def test_range_join_equals_inequality_join_without_nlj(spark):
+    """Bucketed range join == the naive inequality join, at several bin
+    widths (including widths that force multi-bin explodes and widths
+    larger than every interval), negatives included; and the plan contains
+    NO nested-loop/cartesian join — the O(|L|x|R|) shape it exists to
+    avoid."""
+    import random
+
+    from croawl_spark.operators.rangejoin import range_join
+
+    rnd = random.Random(11)
+    ivals = [(i, rnd.randrange(-500, 500)) for i in range(120)]
+    ivals = [(i, lo, lo + rnd.randrange(0, 120)) for i, lo in ivals]
+    pts = [(j, rnd.randrange(-600, 600)) for j in range(400)]
+    want = sorted(
+        (i, j) for i, lo, hi in ivals for j, p in pts if lo <= p <= hi
+    )
+    idf = spark.createDataFrame(ivals, "iid long, lo long, hi long")
+    pdf = spark.createDataFrame(pts, "pid long, pt long")
+    for width in (7, 64, 1000):
+        out = range_join(idf, pdf, "iid", "lo", "hi", "pid", "pt", bin_width=width)
+        got = sorted((r["iid"], r["pid"]) for r in out.collect())
+        assert got == want, width
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_pagerank_matches_numpy_oracle(spark):
     """Spark PageRank (converging joins + dangling-mass redistribution)
     vs a dense numpy power-method oracle with identical semantics."""
@@ -700,3 +727,27 @@ def test_ann_ivf_recall_and_determinism(spark):
     b = {(r["query_id"], r["cand_id"]) for r in ann_ivf_topk(cands, qs, k=5).collect()}
     assert a == b  # deterministic centroids + assignment
     assert len(a & truth) >= 8, f"ivf recall {len(a & truth)}/25"
+
+
+def test_ann_ivf_cell_join_ships_no_vectors(spark):
+    """Plan shape (VERDICT r02 item #4): the cell join is narrow — no
+    exchange in the plan carries an array column; embeddings re-attach to
+    the deduped candidate pairs by id only."""
+    import re
+
+    from croawl_spark.operators.ann import ann_ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs, cands = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    plan = (
+        ann_ivf_topk(cands, qs, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "vec" not in keys and "embedding" not in keys, keys
+    # the corpus side of the cell join is the narrow (cand_id, cell)
+    # projection — the arrays enter the plan only at the id-keyed
+    # re-attach joins after pair dedup
+    assert re.search(r"Project \[cand_id#\d+L?, cell#\d+L?\]", plan), plan
+    assert "cand_vec" in plan and "query_vec" in plan  # re-attach happened
