@@ -130,6 +130,88 @@ def embed_dedup_pairs(
     )
 
 
+def build_embed_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 5,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Persistable ANN bucket index: narrow (id, table, bucket) rows —
+    ~24 bytes x n_tables per vector instead of the embedding itself. The
+    hyperplanes are a fixed-seed pure function, so an index built today
+    probes identically forever; exact-cosine confirmation fetches vectors
+    from the corpus by id at probe time (the seen-filter / exact-dedup
+    pattern: approximate prefilter, exact confirm)."""
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return _explode_tables(
+        with_lsh_buckets(base, "vec", dim, n_planes, n_tables), "x"
+    ).select(F.col("x_id").alias("id"), "table", "bucket")
+
+
+def incremental_embed_pairs(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int = 64,
+    n_planes: int = 5,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Near-dup pairs for a NEW embedding batch against the persisted
+    bucket index (plus within-batch self pairs) — old vectors are neither
+    re-bucketed nor bulk-read: only candidate ids are fetched from the
+    corpus for the exact-cosine confirm.
+
+    -> (id_a, id_b, cosine) with id_a < id_b (least/greatest-normalized;
+    precondition: old and new id SETS are disjoint). Equals the
+    whole-corpus embed_dedup_pairs restricted to pairs involving a new id,
+    because buckets are a deterministic function of the vector.
+    """
+    base_new = new_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    nb = _explode_tables(
+        with_lsh_buckets(base_new, "vec", dim, n_planes, n_tables), "n"
+    )
+    cross = (
+        nb.join(
+            index.select(F.col("id").alias("_oid"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .select(
+            F.least("_oid", "n_id").alias("id_a"),
+            F.greatest("_oid", "n_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    self_pairs = (
+        nb.select(F.col("n_id").alias("id_a"), "table", "bucket")
+        .join(nb.select(F.col("n_id").alias("id_b"), "table", "bucket"),
+              ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cross.unionByName(self_pairs).dropDuplicates(["id_a", "id_b"])
+    # vector lookup over corpus ∪ new — the inner joins touch candidate ids
+    # only, so the corpus embedding column is read for candidates, not bulk
+    allv = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    ).unionByName(base_new.select(F.col("id").alias("_vid"), F.col("vec").alias("_v")))
+    va = allv.select(F.col("_vid").alias("id_a"), F.col("_v").alias("vec_a"))
+    vb = allv.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vec_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) variant: k-means cells + n_probe nearest-cell search.
 # Centroids are trained ONCE on a bounded, deterministically-chosen sample

@@ -1088,6 +1088,27 @@ def q_join_range(spark, sf):
     )
 
 
+def q_dedup_embed_incremental(spark, sf):
+    """Incremental embedding near-dup: new batch probed against a
+    persisted-shape bucket index; old vectors fetched for candidates only.
+    No SQL oracle (hyperplane LSH); semantics pinned by
+    test_incremental_embed_pairs_matches_self_dedup (== whole-corpus
+    self-dedup restricted to new pairs)."""
+    from croawl_spark.operators.ann import build_embed_index, incremental_embed_pairs
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    old = e.filter(F.col("vec_id") >= 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    new = e.filter(F.col("vec_id") < 30).unionByName(
+        e.filter(F.col("vec_id").isin(35, 36)).select(
+            (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+        )
+    )
+    idx = build_embed_index(old)
+    return incremental_embed_pairs(new, idx, old, threshold=0.9)
+
+
 def q_host_rank(spark, sf):
     """Host-importance PageRank (crawl prioritization) over a deterministic
     synthetic link graph; fixed 8 iterations, dangling mass redistributed.
@@ -1203,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "dedup_embed_lsh": q_dedup_embed_lsh,
+    "dedup_embed_incremental": q_dedup_embed_incremental,
     "host_rank": q_host_rank,
 }
 

@@ -419,6 +419,57 @@ def test_connected_components_huge_ids_no_sum_overflow(spark):
     assert got == want
 
 
+def test_incremental_embed_pairs_matches_self_dedup(spark):
+    """New-batch embeddings probed against batch-1's PERSISTED bucket index
+    (batch-1 vectors never re-bucketed) must equal the whole-corpus
+    embedding self-dedup restricted to pairs involving a new vector —
+    including when new ids sort below old ids (orientation normalized)."""
+    import tempfile
+
+    from croawl_spark.operators.ann import (
+        build_embed_index,
+        embed_dedup_pairs,
+        incremental_embed_pairs,
+    )
+    from croawl_spark.sources.tableio import TableIO
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") >= 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    # new batch: small ids + exact copies of two old vectors (planted dups)
+    new = (
+        e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id").isin(45, 46)).select("vec_id", "embedding")
+        )
+        .dropDuplicates(["vec_id"])
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        io = TableIO(spark, tmp)
+        io.write_snapshot(build_embed_index(old), "embed_index", 0)
+        io.commit_cycle(0, ["embed_index"])
+        idx = io.read_snapshot("embed_index")
+        inc = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_embed_pairs(
+                new, idx, old, threshold=0.95
+            ).collect()
+        }
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embed_dedup_pairs(
+            old.unionByName(new), threshold=0.95
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == full
+    assert all(a < b for a, b in inc)
+    # planted exact copies (cosine 1.0 collides in EVERY table) found
+    assert (45, 100045) in inc and (46, 100046) in inc
+
+
 def test_range_join_equals_inequality_join_without_nlj(spark):
     """Bucketed range join == the naive inequality join, at several bin
     widths (including widths that force multi-bin explodes and widths
