@@ -41,6 +41,11 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_cluster",     # iterative converging joins (components)
         "dedup_incremental", # probe persisted exact index
         "corpus_clean",      # composite quality->lang->dedup pipeline
+        # added in round 3:
+        "bm25",              # term-filtered explode + broadcast stats
+        "pack_sequences",    # two-phase distributed global cumsum
+        "join_range",        # bucketed range join (no NLJ)
+        "host_rank",         # PageRank power method (8 fixed rounds)
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

@@ -62,7 +62,12 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         # dangling vertices leak their mass: recover it as ONE scalar and
-        # spread uniformly (1 - sum of mass that flowed through edges)
+        # spread uniformly (1 - sum of mass that flowed through edges).
+        # This is a tiny per-round collect ON PURPOSE: folding the scalar
+        # into the round's plan as a broadcast 1-row aggregate (crossJoin)
+        # was measured ~30% SLOWER at sf0.1 — the heavier single AQE job
+        # costs more than the extra trivial job, the same result as the
+        # connected-components convergence experiments (cluster.py).
         flowed = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
