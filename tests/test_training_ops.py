@@ -263,6 +263,27 @@ def test_minhash_to_survivors_end_to_end(spark):
     assert len(survivors) == 30  # nothing else dropped
 
 
+def test_round3_ops_shuffle_partition_invariance(spark):
+    """Round-3 keys under radically different shuffle parallelism: exact
+    ops must be identical; bm25's rounded float scores must also be stable
+    (the 4-decimal margin must absorb summation-order ulp drift)."""
+    from croawl_spark.plans.verify_queries import QUERIES
+
+    keys = ["bm25", "pack_sequences", "sample_split", "join_range"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for np_ in ("2", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", np_)
+            for k in keys:
+                rows = sorted(tuple(r) for r in QUERIES[k](spark, SF).collect())
+                results.setdefault(k, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for k, (a, b) in results.items():
+        assert a == b, k
+
+
 def test_round2_ops_shuffle_partition_invariance(spark):
     """North-rule determinism for the new operators: radically different
     shuffle parallelism must not change any result row (components,
