@@ -1039,6 +1039,36 @@ def q_udtf_spans(spark, sf):
     )
 
 
+def q_join_full(spark, sf):
+    """J-family completion: FULL OUTER join with genuine unmatched rows on
+    BOTH sides (event user ids and customer keys only partially overlap)."""
+    c = _t(spark, sf, "customer").groupBy(
+        F.col("c_custkey").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    e = _t(spark, sf, "events").groupBy(
+        F.col("user_id").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return c.join(e, "key", "full").select(
+        "key",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+def q_win_ntile(spark, sf):
+    """W-family completion: ntile / percent_rank / cume_dist."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_bm25(spark, sf):
     """BM25 relevance mining over the corpus (operators/corpus.py): the
     explode is pre-filtered to the query terms JVM-side, so the tf shuffle
@@ -1149,6 +1179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "sample_split": q_sample_split,
     "join_range": q_join_range,
+    "join_full": q_join_full,
+    "win_ntile": q_win_ntile,
     # -- never-driver-sampled oracle keys (VERDICT r02 item #1) --
     "dedup_cluster": q_dedup_cluster,
     "dedup_incremental": q_dedup_incremental,
@@ -1180,9 +1212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_frame": q_win_frame,
     "sort_multi": q_sort_multi,
     "topk": q_topk,
-    "fn_map": q_fn_map,
     "fn_struct": q_fn_struct,
-    "fn_json": q_fn_json,
     "stream_window": q_stream_window,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
@@ -1212,6 +1242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_math": q_fn_math,
     "fn_array": q_fn_array,
     "fn_string": q_fn_string,
+    "fn_map": q_fn_map,
+    "fn_json": q_fn_json,
     # rows-only / no-oracle by nature (independent semantic tests in tests/):
     "agg_approx": q_agg_approx,
     "bloom_roundtrip": q_bloom_roundtrip,
@@ -1261,6 +1293,23 @@ ORACLE: dict[str, str] = {
         "AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 10 THEN 'val' "
         "WHEN bucket < 20 THEN 'test' ELSE 'train' END AS split FROM b"
+    ),
+    "join_full": (
+        "WITH c AS (SELECT c_custkey AS key, COUNT(*) AS n_cust FROM customer "
+        "GROUP BY c_custkey), "
+        "e AS (SELECT user_id AS key, COUNT(*) AS n_events FROM events "
+        "GROUP BY user_id) "
+        "SELECT COALESCE(c.key, e.key) AS key, "
+        "COALESCE(n_cust, 0) AS n_cust, COALESCE(n_events, 0) AS n_events "
+        "FROM c FULL OUTER JOIN e ON c.key = e.key"
+    ),
+    "win_ntile": (
+        "SELECT c_custkey, c_mktsegment, "
+        "CAST(NTILE(4) OVER w AS INT) AS quartile, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, "
+        "ROUND(CUME_DIST() OVER w, 6) AS cume FROM customer "
+        "WINDOW w AS (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey)"
     ),
     "join_range": (
         "WITH p AS (SELECT event_id AS pid, "
