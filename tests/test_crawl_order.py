@@ -377,6 +377,29 @@ def test_tombstone_frontier_equals_rewrite_and_compacts(spark):
         assert _spark_log_rows(io_res) == _spark_log_rows(io_rw)
 
 
+def test_tombstone_crash_orphans_are_replayed(spark):
+    """Crash between data write and manifest commit leaves orphan
+    frontier__adds/__dels segment dirs; replay must overwrite them
+    idempotently and produce the uninterrupted log (the TableIO commit
+    protocol's core guarantee, extended to merge tables)."""
+    import os
+
+    seeds = synth.gen_seeds(60)
+    ts = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12,
+                     frontier_mode="tombstone", frontier_compact_every=3)
+    with tempfile.TemporaryDirectory() as d:
+        full = _spark_log_rows(run_crawl(spark, seeds, 4, f"{d}/full", ts))
+        io = run_crawl(spark, seeds, 2, f"{d}/part", ts)
+        # fake a crash mid-cycle-2: uncommitted garbage segments on disk
+        for t in ("frontier__adds", "frontier__dels", "fetch_log"):
+            p = os.path.join(io.base, t, "cycle=2")
+            os.makedirs(p, exist_ok=True)
+            spark.range(3).write.mode("overwrite").parquet(p)
+        assert io.last_committed_cycle() == 1  # manifest untouched
+        io_res = run_crawl(spark, seeds, 4, f"{d}/part", ts, resume=True)
+        assert _spark_log_rows(io_res) == full
+
+
 def test_salted_topk_equals_plain_topk(spark):
     """W1 correctness: the salted two-phase ranking must select EXACTLY the
     rows a plain per-host window would (salt defuses skew, never changes
