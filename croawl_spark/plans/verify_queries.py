@@ -1039,6 +1039,30 @@ def q_udtf_spans(spark, sf):
     )
 
 
+def q_doc_top_terms(spark, sf):
+    """Per-document salient-term extraction (training-data topic tagging):
+    top-3 terms by (tf desc, corpus-df asc, term) — an INTEGER-exact
+    TF-IDF ordering, so cross-engine parity is exact with no float-score
+    rounding games; stopword-ish terms sink via the document-frequency
+    tiebreak. Scale shape: tf partial-aggregates map-side on (doc, term)
+    (a document's terms are row-local), the df side is the vocab-sized
+    aggregate vocab_df already builds, and the per-doc window partitions
+    on doc_id — no single-partition stage anywhere."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("t")
+    )
+    return (
+        tf.join(df_t, "t")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tf", "df", "rk")
+    )
+
+
 def q_join_full(spark, sf):
     """J-family completion: FULL OUTER join with genuine unmatched rows on
     BOTH sides (event user ids and customer keys only partially overlap)."""
@@ -1181,6 +1205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range": q_join_range,
     "join_full": q_join_full,
     "win_ntile": q_win_ntile,
+    "doc_top_terms": q_doc_top_terms,
     # -- never-driver-sampled oracle keys (VERDICT r02 item #1) --
     "dedup_cluster": q_dedup_cluster,
     "dedup_incremental": q_dedup_incremental,
@@ -1212,7 +1237,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_frame": q_win_frame,
     "sort_multi": q_sort_multi,
     "topk": q_topk,
-    "fn_struct": q_fn_struct,
     "stream_window": q_stream_window,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
@@ -1244,6 +1268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_string": q_fn_string,
     "fn_map": q_fn_map,
     "fn_json": q_fn_json,
+    "fn_struct": q_fn_struct,
     # rows-only / no-oracle by nature (independent semantic tests in tests/):
     "agg_approx": q_agg_approx,
     "bloom_roundtrip": q_bloom_roundtrip,
@@ -1293,6 +1318,15 @@ ORACLE: dict[str, str] = {
         "AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 10 THEN 'val' "
         "WHEN bucket < 20 THEN 'test' ELSE 'train' END AS split FROM b"
+    ),
+    "doc_top_terms": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t), "
+        "dft AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t) "
+        "SELECT doc_id, t AS term, tf, df, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY tf DESC, df ASC, t) AS INT) AS rk "
+        "FROM tf JOIN dft USING (t) QUALIFY rk <= 3"
     ),
     "join_full": (
         "WITH c AS (SELECT c_custkey AS key, COUNT(*) AS n_cust FROM customer "
