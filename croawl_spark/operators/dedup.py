@@ -53,9 +53,12 @@ def exact_dedup(
     At 100 TB the old single-level GROUP BY content shipped the corpus
     body through the exchange; here the full-table exchange carries only
     (hash, len, id) and content moves only for rows that actually have a
-    duplicate-candidate. The level-1 aggregate is persisted and computed
-    ONCE (it feeds the singleton answer, the dup-key set, and the dup-key
-    count), and the dup-key semi-join is broadcast only while the dup-key
+    duplicate-candidate. The level-1 aggregate is computed ONCE and
+    materialized EAGERLY (this function runs one Spark job at call time:
+    the aggregate feeds the singleton answer, the dup-key set, and the
+    dup-key count that decides the level-2 plan shape; it is
+    localCheckpoint-backed so the blocks free themselves when the result
+    is GC'd), and the dup-key semi-join is broadcast only while the dup-key
     count stays under ``broadcast_max_keys`` — on corpora with ~30%
     duplication the dup-key set is O(corpus) and a forced broadcast would
     OOM; past the threshold it degrades to a shuffle semi-join (AQE may
@@ -77,17 +80,25 @@ def exact_dedup(
         h.alias("_h"),
         F.coalesce(F.length(content_col), F.lit(-1)).alias("_len"),
     )
+    # NOTE eager: this call runs one Spark job up front (the level-1
+    # aggregate must be materialized to decide the level-2 plan shape
+    # below). localCheckpoint rather than persist(): the blocks back the
+    # three consumers (singles, dup_keys, the gate count) exactly like a
+    # cache, but are released by the ContextCleaner when the returned
+    # DataFrame is garbage-collected — persist() pinned them in the cache
+    # manager forever (one leaked aggregate per call across a 79-key
+    # battery / bench loop).
     lvl1 = keyed.groupBy("_h", "_len").agg(
         F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("_gc")
-    ).persist()
+    ).localCheckpoint()
     # singleton groups are fully answered by the narrow aggregate — their
     # keep_id IS the row id and dup_cnt = 1; no row-level revisit at all
     singles = lvl1.filter(F.col("_gc") == 1).select(
         "keep_id", F.lit(1).cast("long").alias("dup_cnt")
     )
     dup_keys = lvl1.filter(F.col("_gc") > 1).select("_h", "_len")
-    # one O(1)-result action on the persisted aggregate decides the shape
-    # of level 2; the same cached lvl1 then serves singles + dup_keys
+    # one O(1)-result action on the checkpointed aggregate decides the
+    # shape of level 2; the same materialized lvl1 serves singles + dup_keys
     n_dup_keys = dup_keys.count()
     if n_dup_keys == 0:
         return singles

@@ -12,7 +12,9 @@ Scale shape (same discipline as operators/cluster.py):
   * each round is ONE equi-join (edges ⋈ ranks on src) + one map-side-
     partial sum aggregate on dst — both shuffle narrow (src, dst, double).
   * dangling mass (vertices with no outlinks) is redistributed uniformly
-    via a single scalar aggregate per round, not a cross join.
+    from a trivial scalar sum over the round's already-materialized
+    aggregate (flowed mass == total contrib mass) — no dedicated job, no
+    cross join.
   * fixed iteration count (deterministic at any parallelism; convergence
     at web scale takes ~50 rounds, callers tune n_iter), lineage truncated
     per round with localCheckpoint so plans don't grow.
@@ -41,6 +43,18 @@ def pagerank(
     """
     v = vertices.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
     n = v.count()
+    # Size-derived partitioning for the per-round state: vertex-keyed
+    # frames hold ≤ n tiny (id, double) rows, so target ~500k rows per
+    # partition instead of inheriting spark.sql.shuffle.partitions. AQE
+    # coalesces shuffle READS but not what localCheckpoint/persist STORE —
+    # without this, a toy graph checkpoints 32 near-empty partitions per
+    # round and the 8-round loop pays ~17 × 32 task launches of pure
+    # scheduling overhead (measured: ~25% of warm wall at sf0.1). At
+    # 10^8 hosts the same rule keeps hundreds of partitions — the knob
+    # scales with the data, not the box.
+    par = max(1, min(vertices.sparkSession.sparkContext.defaultParallelism,
+                     -(-n // 500_000)))
+    v = v.coalesce(par)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -48,9 +62,28 @@ def pagerank(
         .join(v.select(F.col("id").alias("dst")), "dst", "left_semi")
         .persist()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
-    ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    out_deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        .coalesce(par)
+        .persist()
+    )
+    ranks = v.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
+        # The round's ONLY heavy job: edges ⋈ ranks + map-side-partial sum,
+        # materialized once (localCheckpoint). `ranks` itself is never
+        # checkpointed — it stays a LAZY one-join view over the round's
+        # checkpointed aggregate (constant plan depth, so lineage still
+        # doesn't grow), folded into the next round's contribs job instead
+        # of costing a job of its own. Dangling mass needs no job either:
+        # the mass that flowed through edges is EXACTLY the total contrib
+        # mass (each src with out-degree contributes out_deg × rank/out_deg
+        # = rank across its edges), so `flowed` is a trivial scalar sum
+        # over the checkpointed aggregate — the former per-round
+        # ranks⋉out_deg semi-join+agg job is gone. Net: 2 actions/round
+        # (one heavy, one ~constant) vs 3 in the naive fold and 2-heavy in
+        # the r03 shape. (The in-plan broadcast-scalar crossJoin variant
+        # was measured ~30% slower at sf0.1 and stays retired — see the
+        # memory ledger's do-not-retry list.)
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(out_deg, "src")
@@ -60,18 +93,11 @@ def pagerank(
             )
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
+            .coalesce(par)
+            .localCheckpoint()
         )
-        # dangling vertices leak their mass: recover it as ONE scalar and
-        # spread uniformly (1 - sum of mass that flowed through edges).
-        # This is a tiny per-round collect ON PURPOSE: folding the scalar
-        # into the round's plan as a broadcast 1-row aggregate (crossJoin)
-        # was measured ~30% SLOWER at sf0.1 — the heavier single AQE job
-        # costs more than the extra trivial job, the same result as the
-        # connected-components convergence experiments (cluster.py).
         flowed = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            contribs.agg(F.coalesce(F.sum("in_mass"), F.lit(0.0))).collect()[0][0]
         )
         dangling = (1.0 - flowed) / n
         ranks = (
@@ -84,7 +110,6 @@ def pagerank(
                     * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     e.unpersist()
     out_deg.unpersist()

@@ -34,6 +34,38 @@ from croawl_spark.tables import SEEN_FILTER
 
 K_HASHES = 5
 
+# Sentinel embedded in the cuckoo build kernel's overflow error. The kernel
+# runs inside an Arrow UDF, so the exception crosses the JVM/Py4J boundary
+# as TEXT — a dedicated exception class can't survive the crossing, but a
+# unique token can. plans/cycle._write_filter_resilient matches THIS token
+# (never free prose like "cuckoo bucket", which an unrelated error message
+# could contain) to decide geometry-doubling vs re-raising.
+CUCKOO_OVERFLOW_SENTINEL = "CROAWL_CUCKOO_OVERFLOW"
+
+
+def committed_filter_kind(counters: dict, default_kind: str) -> str:
+    """AMQ kind recorded in a COMMITTED warehouse manifest.
+
+    Manifests written before the ``filter_kind`` counter existed carry
+    geometry counters but no kind; their kind is implied by WHICH geometry
+    counter they wrote (the bloom era wrote ``filter_m_bits`` only, the
+    cuckoo writer has always recorded ``filter_kind`` alongside
+    ``filter_m_slots``). Falling back to *cfg* here instead would let a
+    ``filter_kind='cuckoo'`` resume of a legacy bloom warehouse skip the
+    rebuild and reinterpret the bloom blob — silent when
+    m_bits == 64*m_slots coincide, yielding false negatives that bypass
+    the exact anti-join and re-admit seen URLs. Only a manifest with NO
+    filter counters at all (fresh crawl, or filter enabled mid-crawl)
+    falls back to the configured kind.
+    """
+    if "filter_kind" in counters:
+        return str(counters["filter_kind"])
+    if "filter_m_slots" in counters:
+        return "cuckoo"
+    if "filter_m_bits" in counters:
+        return "bloom"
+    return default_kind
+
 
 def projected_fp(n_items: int, m_bits: int) -> float:
     """Bloom FP estimate for n_items in an m_bits bucket with K_HASHES
@@ -223,7 +255,8 @@ def build_cuckoo_filter(
             if op == 1:
                 if not ck.insert(int(h)):
                     raise RuntimeError(
-                        f"cuckoo bucket {bucket} overflow at load "
+                        f"{CUCKOO_OVERFLOW_SENTINEL}: cuckoo bucket "
+                        f"{bucket} overflow at load "
                         f"{n_old + n_ins}/{m_slots * _CK_SLOTS} slots: "
                         "resize m_slots/n_buckets and rebuild"
                     )

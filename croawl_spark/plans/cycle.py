@@ -68,8 +68,10 @@ from croawl_spark.operators.dedup import first_wins
 from croawl_spark.operators.ranking import global_sequence, salted_topk
 from croawl_spark.operators.seenfilter import (
     _CK_SLOTS,
+    CUCKOO_OVERFLOW_SENTINEL,
     build_cuckoo_filter,
     build_filter,
+    committed_filter_kind,
     probe_cuckoo,
     probe_filter,
 )
@@ -115,8 +117,8 @@ def _write_filter_resilient(
         try:
             io.write_snapshot(filt_next, "seen_filter", cycle)
             return geo
-        except Exception as e:  # Py4J wraps the worker RuntimeError
-            if "cuckoo bucket" not in str(e):
+        except Exception as e:  # Py4J wraps the worker RuntimeError as text
+            if CUCKOO_OVERFLOW_SENTINEL not in str(e):
                 raise
             geo *= 2
             filt_next = _build_seen_filter(kind, full_seen, n_buckets, geo)
@@ -413,7 +415,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     # (O(seen), rare) instead of silently mis-probing (false negatives ->
     # refetches) — this also makes switching bloom<->cuckoo mid-crawl safe.
     counters = io.counters()
-    geo_kind = str(counters.get("filter_kind", cfg.filter_kind))
+    geo_kind = committed_filter_kind(counters, cfg.filter_kind)
     geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
     geo = int(counters.get(_geo_counter(geo_kind), _filter_geo(cfg)))
     if cfg.use_filter and (

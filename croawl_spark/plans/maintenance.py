@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from croawl_spark.operators.seenfilter import build_cuckoo_filter, build_filter
+from croawl_spark.operators.seenfilter import (
+    build_cuckoo_filter,
+    build_filter,
+    committed_filter_kind,
+)
 from croawl_spark.sources.tableio import TableIO
 
 
@@ -52,7 +56,7 @@ def expire_recrawl(
     n_exp = seen.count() - retained.count()
     io.compact_log(retained, "seen", last + 1)
     counters = io.counters()
-    geo_kind = str(counters.get("filter_kind", getattr(cfg, "filter_kind", "bloom")))
+    geo_kind = committed_filter_kind(counters, getattr(cfg, "filter_kind", "bloom"))
     geo_buckets = int(counters.get("filter_n_buckets", cfg.n_buckets))
     if cfg.use_filter:
         if geo_kind == "cuckoo":

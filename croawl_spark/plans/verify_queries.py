@@ -1166,8 +1166,9 @@ def q_dedup_embed_incremental(spark, sf):
 def q_host_rank(spark, sf):
     """Host-importance PageRank (crawl prioritization) over a deterministic
     synthetic link graph; fixed 8 iterations, dangling mass redistributed.
-    No SQL oracle (iterative power method) — semantics pinned by the numpy
-    oracle in tests/test_training_ops.py."""
+    Oracle: the power method unrolled as 8 SQL CTE stages over the same
+    %97 edge derivation (_host_rank_oracle_sql), rounded to 6dp; semantics
+    additionally pinned by the numpy oracle in tests/test_training_ops.py."""
     from croawl_spark.operators.pagerank import pagerank
 
     o = _t(spark, sf, "orders")
@@ -1749,3 +1750,37 @@ ORACLE: dict[str, str] = {
         "UNION ALL SELECT doc_id, 2, 'text', text FROM t"
     ),
 }
+
+
+def _host_rank_oracle_sql(n_iter: int = 8) -> str:
+    """Unrolled power-method PageRank as plain SQL (VERDICT r03 item #3):
+    one (contribs, flowed, ranks) CTE triple per iteration over the same
+    %97 edge derivation as q_host_rank. All arithmetic is forced to DOUBLE
+    (DuckDB parses bare decimal literals as DECIMAL) and mirrors the Spark
+    operator exactly: flowed mass = total contrib mass, dangling spread
+    uniformly, final rank rounded to 6dp like the Spark key."""
+    sql = [
+        "WITH verts AS (SELECT CAST(range AS BIGINT) AS id FROM range(97)), "
+        "edges AS (SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 97 AS dst "
+        "FROM orders WHERE o_custkey % 97 <> o_orderkey % 97), "
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src), "
+        "r0 AS (SELECT id, CAST(1 AS DOUBLE) / 97 AS pr FROM verts)"
+    ]
+    for i in range(1, n_iter + 1):
+        sql.append(
+            f", c{i} AS (SELECT e.dst AS id, SUM(r.pr / d.out_deg) AS in_mass "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.id "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+            f", f{i} AS (SELECT COALESCE(SUM(in_mass), CAST(0 AS DOUBLE)) "
+            f"AS flowed FROM c{i})"
+            f", r{i} AS (SELECT v.id, "
+            f"(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 97 "
+            f"+ CAST(0.85 AS DOUBLE) * (COALESCE(c.in_mass, CAST(0 AS DOUBLE)) "
+            f"+ (CAST(1 AS DOUBLE) - f.flowed) / 97) AS pr "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id CROSS JOIN f{i} f)"
+        )
+    sql.append(f' SELECT id, ROUND(pr, 6) AS "rank" FROM r{n_iter}')
+    return "".join(sql)
+
+
+ORACLE["host_rank"] = _host_rank_oracle_sql()

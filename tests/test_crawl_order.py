@@ -170,6 +170,53 @@ def test_resume_with_different_filter_geometry(spark):
         assert io_res.counters()["filter_n_buckets"] == 4
 
 
+def test_committed_filter_kind_resolution():
+    """Kind resolution for committed manifests (ADVICE r03, medium): an
+    explicit counter wins; a legacy manifest (geometry counter, no kind)
+    resolves to the kind that geometry counter implies — NEVER to cfg;
+    only a manifest with no filter counters at all falls back to cfg."""
+    from croawl_spark.operators.seenfilter import committed_filter_kind
+
+    assert committed_filter_kind({"filter_kind": "cuckoo"}, "bloom") == "cuckoo"
+    # pre-filter_kind manifests were written by the bloom-only engine
+    assert committed_filter_kind({"filter_m_bits": 4096}, "cuckoo") == "bloom"
+    assert committed_filter_kind({"filter_m_slots": 64}, "bloom") == "cuckoo"
+    assert committed_filter_kind({}, "cuckoo") == "cuckoo"  # fresh warehouse
+
+
+def test_resume_legacy_manifest_as_cuckoo_rebuilds(spark):
+    """Resuming a pre-upgrade (no filter_kind counter) bloom warehouse
+    with cfg.filter_kind='cuckoo' must detect the kind mismatch and
+    rebuild from the seen log — the old cfg-fallback skipped the rebuild
+    and probe_cuckoo reinterpreted the bloom blob; at m_bits == 64*m_slots
+    the sizes coincide so the mis-probe was silent and its false negatives
+    bypassed the exact anti-join (re-admitting seen URLs)."""
+    import json as _json
+
+    seeds = synth.gen_seeds(60)
+    # the exact silent-mis-probe geometry from the advisory:
+    # bloom blob bytes (m_bits/8) == cuckoo blob bytes (m_slots*8)
+    bloom = CrawlConfig(k_per_host=2, n_salt=4, n_buckets=16, m_bits=1 << 12)
+    cuckoo = CrawlConfig(
+        k_per_host=2, n_salt=4, n_buckets=16,
+        filter_kind="cuckoo", m_slots=(1 << 12) // 64,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        full = _spark_log_rows(run_crawl(spark, seeds, 3, f"{d}/full", bloom))
+        io_part = run_crawl(spark, seeds, 2, f"{d}/part", bloom)
+        # forge a legacy manifest: geometry counters present, kind absent
+        mpath = io_part._manifest_path
+        with open(mpath) as f:
+            m = _json.load(f)
+        assert m["counters"].pop("filter_kind") == "bloom"
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+        io_res = run_crawl(spark, seeds, 3, f"{d}/part", cuckoo, resume=True)
+        assert _spark_log_rows(io_res) == full
+        c = io_res.counters()
+        assert c["filter_kind"] == "cuckoo" and "filter_m_slots" in c
+
+
 def test_expire_recrawl_forgets_and_requeues(spark):
     """Recrawl-TTL maintenance: URLs last-fetched > ttl cycles ago are
     compacted out of the seen log AND the rebuilt filter, so a rediscovered
