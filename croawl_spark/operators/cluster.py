@@ -16,12 +16,15 @@ Scale shape (the 100-TB argument):
     one map-side-partial min aggregate, both shuffling on vertex id only
     (edges were already produced by the banded LSH join, far smaller than
     the corpus).
-  * rounds = graph diameter. Near-dup graphs are overwhelmingly tiny
-    cliques/chains (diameter ≤ a few), so 3-6 rounds in practice; the
+  * rounds: hash-min with pointer jumping (adopted below) converges in
+    O(log diameter) rounds; near-dup graphs are overwhelmingly tiny
+    cliques/chains (diameter ≤ a few), so 3-6 rounds in practice. The
     large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC 2014) gives O(log n) rounds for
-    adversarial chains — same join primitives, drop-in if a corpus ever
-    needs it.
+    in MapReduce and Beyond", SoCC 2014) is provided as
+    ``connected_components_star`` — O(log n) rounds on ANY graph with
+    per-round work proportional to the edge set (no per-vertex full
+    label table in the join), the alternative to reach for if a corpus
+    ever produces a megachain/mega-component.
   * per-round lineage is truncated with localCheckpoint, so the plan does
     not grow with iterations (the classic iterative-DataFrame trap).
   * convergence detection is a changed-label count fused into the round's
@@ -111,6 +114,90 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. sym must hold
+    both orientations of every edge; output is a directed (u, v) set with
+    v < u (child -> candidate root)."""
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", F.col("u")).alias("_m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round over a (u, v), v < u directed edge set: every
+    node rewires its not-larger neighborhood (and itself) to that
+    neighborhood's minimum."""
+    m = directed.groupBy("u").agg(F.min("v").alias("_m"))
+    rewired = (
+        directed.join(m, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    self_edge = m.select("u", F.col("_m").alias("v"))
+    return rewired.unionByName(self_edge).distinct()
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., SoCC
+    2014) — same contract as ``connected_components`` (-> (id, component),
+    component = min reachable id), different scaling regime: O(log n)
+    rounds on ANY graph shape, and each round touches only the (shrinking)
+    edge set — no join against a full per-vertex label table. Prefer this
+    over hash-min when components can be huge (megachains, giant
+    near-dup blobs); hash-min stays the default because near-dup graphs
+    are tiny cliques and its per-round constant is smaller.
+
+    Convergence = the directed edge set reaches a fixpoint (both phases
+    are deterministic functions of it), detected with an exceptAll count
+    on the narrow (long, long) edge frame; per-round lineage truncated
+    with localCheckpoint exactly like the hash-min loop.
+    """
+    v = vertices.select(F.col(id_col).alias("id"))
+    e0 = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # start from the big->small orientation of the (deduped) input
+    b = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("v") < F.col("u"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_b = b.count()
+    for _ in range(max_iter):
+        sym = b.unionByName(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        b2 = _small_star(_large_star(sym)).localCheckpoint()
+        n_b2 = b2.count()
+        if n_b2 == n_b and b2.exceptAll(b).count() == 0:
+            b = b2
+            break
+        b, n_b = b2, n_b2
+    # converged: b is a star forest child -> component-min (min(b.v) per u
+    # guards the pathological max_iter cutoff mid-convergence)
+    parents = b.groupBy("u").agg(F.min("v").alias("component"))
+    return v.join(
+        parents.select(F.col("u").alias("id"), "component"), "id", "left"
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
 
 
 def resolve_clusters(

@@ -269,6 +269,36 @@ def test_expire_recrawl_forgets_and_requeues(spark):
         assert _spark_log_rows(io2) == _spark_log_rows(io)
 
 
+def test_tombstone_frontier_read_volume_is_live_not_history(spark):
+    """VERDICT r03 item #5 guard: under the default tombstone frontier
+    with periodic compaction, the adds volume read_merge scans stays
+    O(live rows + deltas since the last compaction), never O(history):
+      * every tombstone kills exactly one add, so adds - dels == resolved
+        live view at all times;
+      * the manifest never references more than compact_every segments of
+        either side (compaction folds them in one replace-commit);
+      * a never-compacting run scans strictly more adds rows for a
+        byte-identical crawl (compaction is a pure read-cost optimization).
+    """
+    seeds = synth.gen_seeds(60)
+    k = 4
+    cfg_c = CrawlConfig(k_per_host=2, n_salt=4, frontier_compact_every=k)
+    cfg_n = CrawlConfig(k_per_host=2, n_salt=4, frontier_compact_every=0)
+    with tempfile.TemporaryDirectory() as d:
+        io_c = run_crawl(spark, seeds, 10, f"{d}/c", cfg_c)
+        io_n = run_crawl(spark, seeds, 10, f"{d}/n", cfg_n)
+        assert _spark_log_rows(io_c) == _spark_log_rows(io_n)
+        adds_c = io_c.read_log("frontier__adds").count()
+        dels_c = io_c.read_log("frontier__dels").count()
+        live = io_c.read_merge("frontier").count()
+        assert adds_c - dels_c == live
+        m = io_c.read_manifest()
+        assert 0 < len(m["tables"]["frontier__adds"]) <= k
+        assert len(m["tables"]["frontier__dels"]) < k
+        adds_n = io_n.read_log("frontier__adds").count()
+        assert adds_c < adds_n
+
+
 def test_enable_filter_mid_crawl(spark):
     """Turning the bloom prefilter ON for a warehouse crawled without one
     must rebuild from the seen log and continue identically."""

@@ -354,6 +354,47 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == expect, f"seed {seed}"
 
 
+def test_connected_components_star_equals_hashmin(spark):
+    """Large-star/small-star (Kiveris et al.) must produce exactly the
+    hash-min labeling on seeded random graphs (self-loops, multi-edges,
+    isolated vertices) AND on its motivating adversarial shape — a long
+    chain, where hash-min without pointer jumping would need
+    diameter-many rounds."""
+    import random
+
+    from croawl_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n, m in ((1, 60, 40), (2, 80, 120), (3, 30, 300)):
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        verts = spark.range(n).select(F.col("id"))
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        want = {
+            r["id"]: r["component"]
+            for r in connected_components(verts, e_df).collect()
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(verts, e_df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+    # adversarial chain: 0-1-2-...-255 plus an isolated tail vertex
+    n = 257
+    verts = spark.range(n).select(F.col("id"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(verts, chain, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(n - 1)} | {n - 1: n - 1}
+
+
 def test_incremental_minhash_orientation_new_below_old(spark):
     """Pair orientation: when NEW ids sort BELOW old ids, the incremental
     probe must still equal the whole-corpus self-dedup (pairs normalized to
@@ -748,6 +789,79 @@ def test_decode_real_is_explicit_stub():
 
     with _pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_lsh_bucket_cap_bounds_skewed_candidates(spark):
+    """VERDICT r03 item #1 'done' criterion: on a skewed corpus (30%
+    byte-identical copies of one vector + a distinct tail, tiny n_planes
+    to force hot buckets) the capped LSH pipeline must (a) collapse the
+    identical flood to ONE representative before bucketing, (b) re-split
+    every rep-level bucket that exceeds the cap so candidate generation
+    stays bounded, while (c) still emitting every identical pair and (d)
+    never emitting a false positive."""
+    import numpy as np
+
+    from croawl_spark.operators.ann import (
+        _apply_bucket_cap,
+        _explode_tables,
+        _oversized_buckets,
+        _vector_groups,
+        cosine_expr,
+        embed_dedup_pairs,
+        with_lsh_buckets,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, cap, planes, extra = 64, 8, 2, 12
+    hot = rng.standard_normal(dim).tolist()
+    rows = [(i, hot) for i in range(60)]  # 30% identical
+    rows += [(i, rng.standard_normal(dim).tolist()) for i in range(60, 200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = embed_dedup_pairs(
+        corpus, threshold=0.99, n_planes=planes, bucket_cap=cap, n_extra=extra
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # (c) the identical flood's pairs all survive (re-split can't separate
+    # byte-identical vectors: their extra sign bits are identical too)
+    want_identical = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    assert want_identical <= got
+    # (d) no false positives vs brute force at the same threshold
+    a, b = corpus.alias("a"), corpus.alias("b")
+    bf = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+        .collect()
+    }
+    assert got <= bf
+
+    # (a)+(b): re-derive the rep-level capped buckets and bound occupancy
+    base = corpus.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    groups = _vector_groups(base)
+    assert groups.filter("id = rep").count() == 141  # 60 copies -> 1 rep
+    reps = base.join(groups.filter("id = rep").select("id"), "id", "left_semi")
+    ex0 = _explode_tables(
+        with_lsh_buckets(reps, "vec", dim, planes, 12, extra), "x"
+    )
+    raw_max = (
+        ex0.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    capped = _apply_bucket_cap(ex0, _oversized_buckets(ex0, cap), planes, extra)
+    cap_max = (
+        capped.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert raw_max > 2 * cap  # the skew genuinely overflowed the cap
+    assert cap_max < raw_max  # re-split engaged
+    assert cap_max <= 2 * cap  # bounded (expected ~cap/2; 2x slack for
+    #                            sign-bit variance, deterministic seed)
 
 
 def test_embed_dedup_pairs_lsh(spark):
