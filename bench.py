@@ -46,6 +46,10 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "pack_sequences",    # two-phase distributed global cumsum
         "join_range",        # bucketed range join (no NLJ)
         "host_rank",         # PageRank power method (8 fixed rounds)
+        # added in round 4:
+        "contamination",     # hashed 8-gram shingle overlap screen
+        "doc_perplexity",    # unigram-LM NLL (broadcast corpus stats)
+        "dedup_embed_lsh",   # capped hyperplane-LSH embedding near-dup
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

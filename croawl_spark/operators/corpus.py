@@ -181,3 +181,93 @@ def bm25_score(
         scored.groupBy(id_col)
         .agg(F.round(F.sum("_term_score"), 4).alias("bm25"))
     )
+
+
+def ngram_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination screen — the decontamination step of an LLM
+    training-data pipeline: flag candidate documents sharing any n-token
+    shingle with a held-out benchmark/eval set (n=8 follows the
+    GPT-3/PaLM-style 8-13-gram overlap convention).
+
+    Scale shape: shingling explodes the token stream n-fold, so with
+    ``hash_shingles`` (the default) each shingle is collapsed to its
+    xxhash64 BEFORE the per-doc distinct and the semi-join — the shuffle
+    carries 8 bytes per shingle instead of the n-token string, and the
+    benchmark side (tiny: eval sets are thousands of docs) broadcasts.
+    False positives from 64-bit collisions are birthday(2^64) — vanishing,
+    and conservative in the safe direction for decontamination (a flagged
+    doc gets dropped/reviewed). Set hash_shingles=False for the exact
+    string form (the DuckDB oracle's semantics; identical output absent
+    collisions).
+
+    -> (id, n_shared, contaminated): count of DISTINCT shared shingles
+    per candidate doc (0 for docs shorter than n tokens), flag = any.
+    """
+
+    def shingles(df: DataFrame) -> DataFrame:
+        w = F.split(text_col, " ")
+        gram = F.explode(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram")
+        out = df.select(F.col(id_col), gram)
+        if hash_shingles:
+            out = out.select(F.col(id_col), F.xxhash64("_gram").alias("_gram"))
+        return out.dropDuplicates([id_col, "_gram"])
+
+    bench = shingles(benchmark).select("_gram").distinct()
+    cand = shingles(candidates)
+    hits = (
+        cand.join(bench, "_gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        candidates.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )
+
+
+def unigram_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood (mean -ln p(w) with
+    p estimated from the corpus itself) — the classic cheap quality /
+    outlier signal: rare-token-heavy or garbled documents score high,
+    boilerplate scores low.
+
+    Scale shape: one token explode feeding a map-side-partial term-
+    frequency aggregate; the corpus total rides a broadcast one-row cross
+    join (the bm25_score pattern) and the token->frequency join is a
+    plain equi-join on the term (vocab-sized right side — AQE broadcasts
+    it when it fits). Rounded to 4 decimals (cross-engine float-parity
+    margin for the order-dependent per-doc mean).
+
+    -> (id, nll), one row per document.
+    """
+    tok = docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("_t"))
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    stats = freq.agg(F.sum("_tf").alias("_tot"))
+    return (
+        tok.join(freq, "_t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log(F.col("_tf") / F.col("_tot"))), 4).alias("nll")
+        )
+    )

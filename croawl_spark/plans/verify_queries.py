@@ -1103,6 +1103,30 @@ def q_bm25(spark, sf):
     return bm25_score(d, "doc_id", "text", ["spark", "merge", "window"])
 
 
+def q_contamination(spark, sf):
+    """Benchmark-decontamination screen (operators/corpus.py): count of
+    distinct 8-token shingles each candidate doc shares with a held-out
+    benchmark set (every 37th doc plays the benchmark). The measured path
+    hashes shingles to 64 bits before the distinct + semi-join (8-byte
+    shuffle rows instead of 8-token strings); the oracle runs the exact
+    string form — identical output absent birthday(2^64) collisions."""
+    from croawl_spark.operators.corpus import ngram_contamination
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    cand = d.filter(F.col("doc_id") % 37 != 0)
+    return ngram_contamination(cand, bench, "doc_id", "text", n=8)
+
+
+def q_doc_perplexity(spark, sf):
+    """Per-doc unigram-LM negative log-likelihood (operators/corpus.py):
+    corpus term frequencies via map-side-partial aggregate, total tokens
+    as a broadcast one-row cross join, 4dp float-parity rounding."""
+    from croawl_spark.operators.corpus import unigram_nll
+
+    return unigram_nll(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_pack_sequences(spark, sf):
     """Token-budget batch packing via a distributed global cumulative sum
     (two-phase range-partition + offsets — no single-partition window)."""
@@ -1213,6 +1237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embed_lsh": q_dedup_embed_lsh,
     "dedup_embed_incremental": q_dedup_embed_incremental,
     "host_rank": q_host_rank,
+    # -- NEW round-4 operators --
+    "contamination": q_contamination,
+    "doc_perplexity": q_doc_perplexity,
     # -- single-artifact keys (new or first-sampled in r03) --
     "bm25": q_bm25,
     "pack_sequences": q_pack_sequences,
@@ -1794,3 +1821,28 @@ def _host_rank_oracle_sql(n_iter: int = 8) -> str:
 
 
 ORACLE["host_rank"] = _host_rank_oracle_sql()
+
+ORACLE["contamination"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM t "
+    "WHERE len(w) >= 8), "
+    "g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram "
+    "FROM g0), "
+    "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0), "
+    "hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM g "
+    "WHERE doc_id % 37 <> 0 AND gram IN (SELECT gram FROM bench) "
+    "GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(h.n_shared, CAST(0 AS BIGINT)) AS n_shared, "
+    "COALESCE(h.n_shared, 0) > 0 AS contaminated "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d "
+    "LEFT JOIN hits h USING (doc_id)"
+)
+
+ORACLE["doc_perplexity"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY t), "
+    "stats AS (SELECT SUM(tf) AS tot FROM freq) "
+    "SELECT doc_id, ROUND(AVG(-ln(tf / tot)), 4) AS nll "
+    "FROM tok JOIN freq USING (t) CROSS JOIN stats GROUP BY doc_id"
+)

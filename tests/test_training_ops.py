@@ -354,6 +354,55 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == expect, f"seed {seed}"
 
 
+def test_ngram_contamination_planted_and_hash_equivalence(spark):
+    """Decontamination screen: a candidate carrying a benchmark doc's text
+    verbatim is flagged with the right distinct-shingle count; clean and
+    too-short docs report 0; and the hashed-shingle scale path equals the
+    exact string form."""
+    from croawl_spark.operators.corpus import ngram_contamination
+
+    bench_text = "a b c d e f g h i j k l"  # 12 tokens -> 5 8-grams
+    rows_b = [(1000, bench_text)]
+    rows_c = [
+        (1, bench_text),                      # verbatim copy: all 5 shared
+        (2, "x " + bench_text),               # shifted: the 5 originals still present
+        (3, "totally unrelated words here now with many more tokens present"),
+        (4, "a b c"),                         # < 8 tokens: 0 by construction
+    ]
+    bench = spark.createDataFrame(rows_b, "doc_id long, text string")
+    cand = spark.createDataFrame(rows_c, "doc_id long, text string")
+    for hashed in (True, False):
+        got = {
+            r["doc_id"]: (r["n_shared"], r["contaminated"])
+            for r in ngram_contamination(
+                cand, bench, "doc_id", "text", n=8, hash_shingles=hashed
+            ).collect()
+        }
+        assert got == {
+            1: (5, True),
+            2: (5, True),
+            3: (0, False),
+            4: (0, False),
+        }, f"hash_shingles={hashed}"
+
+
+def test_unigram_nll_orders_rare_token_docs_high(spark):
+    """Unigram NLL: a doc of corpus-unique tokens must score strictly
+    higher than a doc repeating the corpus's most common token; every doc
+    gets exactly one row."""
+    from croawl_spark.operators.corpus import unigram_nll
+
+    rows = [
+        (1, "the the the the"),
+        (2, "the the the the"),
+        (3, "zyx wvu tsr qpo"),  # singletons
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in unigram_nll(d, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2] < got[3]
+
+
 def test_connected_components_star_equals_hashmin(spark):
     """Large-star/small-star (Kiveris et al.) must produce exactly the
     hash-min labeling on seeded random graphs (self-loops, multi-edges,
