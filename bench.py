@@ -50,6 +50,8 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "contamination",     # hashed 8-gram shingle overlap screen
         "doc_perplexity",    # unigram-LM NLL (broadcast corpus stats)
         "dedup_embed_lsh",   # capped hyperplane-LSH embedding near-dup
+        "rep_filter",        # Gopher repetition screens (token+bigram aggs)
+        "pii_scrub",         # JVM regexp redaction pass
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

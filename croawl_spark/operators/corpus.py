@@ -271,3 +271,99 @@ def unigram_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("_tf") / F.col("_tot"))), 4).alias("nll")
         )
     )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_distinct_frac: float = 0.45,
+    max_top_token_frac: float = 0.15,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition screens (Rae et al. 2021 §A1.1,
+    adapted to token granularity): documents dominated by repeated tokens
+    or a single repeated bigram are boilerplate/spam, not training text.
+
+    Per doc: distinct-token fraction, most-common-token fraction, and the
+    fraction of tokens covered by the most common bigram; ``keep`` ands
+    the three thresholds (compared on the UNROUNDED single-division
+    values — one float op per signal, so cross-engine comparison is
+    exact; reported fractions rounded to 4dp for display parity).
+
+    Scale shape: two explode->map-side-partial count aggregates (tokens,
+    bigrams) keyed on (doc, term) — no windows, no UDFs; the bigram
+    stream rides the same JVM transform/slice shingling as
+    ngram_contamination.
+
+    -> (id, n_tokens, distinct_frac, top_token_frac, top_bigram_frac,
+    keep), one row per document.
+    """
+    w = F.split(text_col, " ")
+    base = docs.select(F.col(id_col), w.alias("_w"))
+    tc = (
+        base.select(F.col(id_col), F.explode("_w").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    d1 = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_dt"),
+        F.max("_c").alias("_mx"),
+    )
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d2 = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_mbg"))
+    )
+    n = F.col("_n").cast("double")
+    df_ = F.col("_dt").cast("double") / n
+    tf_ = F.col("_mx").cast("double") / n
+    bf_ = F.lit(2.0) * F.coalesce(F.col("_mbg"), F.lit(0)).cast("double") / n
+    return (
+        d1.join(d2, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.round(df_, 4).alias("distinct_frac"),
+            F.round(tf_, 4).alias("top_token_frac"),
+            F.round(bf_, 4).alias("top_bigram_frac"),
+            (
+                (df_ >= F.lit(min_distinct_frac))
+                & (tf_ <= F.lit(max_top_token_frac))
+                & (bf_ <= F.lit(max_top_bigram_frac))
+            ).alias("keep"),
+        )
+    )
+
+
+def scrub_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction pass (the C4/CCNet-style scrub): e-mail addresses ->
+    <EMAIL>, 6+-digit runs (phone/ID shapes) -> <NUM>, with per-doc match
+    counts for audit. Pure JVM regexp_replace/regexp_count — no Python in
+    the hot path; patterns restricted to a dialect-portable subset
+    (character classes + bounded quantifiers behave identically in Java
+    regex and RE2, so the DuckDB oracle runs the same patterns verbatim).
+
+    -> (id, clean_text, n_emails, n_longnums).
+    """
+    email = r"[a-z0-9._]+@[a-z0-9.]+"
+    longnum = r"[0-9]{6,}"
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), longnum, "<NUM>"
+        ).alias("clean_text"),
+        F.regexp_count(t, F.lit(email)).alias("n_emails"),
+        F.regexp_count(t, F.lit(longnum)).alias("n_longnums"),
+    )

@@ -1127,6 +1127,38 @@ def q_doc_perplexity(spark, sf):
     return unigram_nll(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_rep_filter(spark, sf):
+    """Gopher-style repetition screens (operators/corpus.py): distinct-
+    token / top-token / top-bigram fractions + keep flag, thresholds
+    compared on unrounded single-division values so both engines decide
+    identically."""
+    from croawl_spark.operators.corpus import repetition_filter
+
+    return repetition_filter(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction audit (operators/corpus.py) over text with planted
+    e-mail + long-digit-run contacts on every 5th doc (the synthetic
+    corpus is clean, so the fixtures are planted deterministically in the
+    query itself — same expression in the oracle)."""
+    from croawl_spark.operators.corpus import scrub_pii
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref 99887766"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(d, "doc_id", "text")
+
+
 def q_pack_sequences(spark, sf):
     """Token-budget batch packing via a distributed global cumulative sum
     (two-phase range-partition + offsets — no single-partition window)."""
@@ -1217,12 +1249,14 @@ def q_host_rank(spark, sf):
 #     artifact through round 3 (all rows-only, registered past 49 in every
 #     earlier round) — after this round every registered key has driver
 #     evidence. host_rank additionally gained a DuckDB oracle this round.
-#   * positions 5-24: keys with exactly ONE driver artifact (first sampled
+#   * positions 5-8: the 4 NEW round-4 operators (contamination,
+#     doc_perplexity, rep_filter, pii_scrub — all oracle-checked).
+#   * positions 9-28: keys with exactly ONE driver artifact (first sampled
 #     in r03: the 7 r03-new operators + the 13 backfilled keys).
-#   * positions 25-40: the 16 oracle keys rotated OUT in r03 (two driver
+#   * positions 29-44: the 16 oracle keys rotated OUT in r03 (two driver
 #     artifacts each, but stale by one round).
-#   * positions 41-49: a family-spread slice of the twice-plus-sampled
-#     substrate (joins/aggs/windows/dedup/ann/crawl).
+#   * positions 45-49: a family-spread slice of the twice-plus-sampled
+#     substrate (filter/join/agg/udaf).
 #   * positions 50+: remaining oracle keys (all driver-green in ≥2 rounds)
 #     and the remaining rows-only keys (each has an independent semantic
 #     test in tests/ AND an r01-r03 driver row).
@@ -1240,6 +1274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW round-4 operators --
     "contamination": q_contamination,
     "doc_perplexity": q_doc_perplexity,
+    "rep_filter": q_rep_filter,
+    "pii_scrub": q_pii_scrub,
     # -- single-artifact keys (new or first-sampled in r03) --
     "bm25": q_bm25,
     "pack_sequences": q_pack_sequences,
@@ -1836,6 +1872,40 @@ ORACLE["contamination"] = (
     "COALESCE(h.n_shared, 0) > 0 AS contaminated "
     "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d "
     "LEFT JOIN hits h USING (doc_id)"
+)
+
+ORACLE["rep_filter"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "tc AS (SELECT doc_id, tkn, COUNT(*) AS c FROM "
+    "(SELECT doc_id, unnest(w) AS tkn FROM t) GROUP BY doc_id, tkn), "
+    "d1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS dt, "
+    "MAX(c) AS mx FROM tc GROUP BY doc_id), "
+    "g0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t "
+    "WHERE len(w) >= 2), "
+    "bc AS (SELECT doc_id, g, COUNT(*) AS c FROM "
+    "(SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM g0) "
+    "GROUP BY doc_id, g), "
+    "d2 AS (SELECT doc_id, MAX(c) AS mbg FROM bc GROUP BY doc_id) "
+    "SELECT d1.doc_id, n AS n_tokens, "
+    "ROUND(CAST(dt AS DOUBLE) / n, 4) AS distinct_frac, "
+    "ROUND(CAST(mx AS DOUBLE) / n, 4) AS top_token_frac, "
+    "ROUND(2 * CAST(COALESCE(mbg, 0) AS DOUBLE) / n, 4) AS top_bigram_frac, "
+    "(CAST(dt AS DOUBLE) / n >= 0.45 AND CAST(mx AS DOUBLE) / n <= 0.15 "
+    "AND 2 * CAST(COALESCE(mbg, 0) AS DOUBLE) / n <= 0.2) AS keep "
+    "FROM d1 LEFT JOIN d2 USING (doc_id)"
+)
+
+ORACLE["pii_scrub"] = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ref 99887766' ELSE text END AS text FROM documents) "
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', "
+    "'<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS clean_text, "
+    "CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS INT) "
+    "AS n_emails, "
+    "CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_longnums "
+    "FROM p"
 )
 
 ORACLE["doc_perplexity"] = (

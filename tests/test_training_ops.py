@@ -403,6 +403,47 @@ def test_unigram_nll_orders_rare_token_docs_high(spark):
     assert got[1] == got[2] < got[3]
 
 
+def test_repetition_filter_flags_repeated_docs(spark):
+    """Gopher-style screens: a token-repetition doc and a bigram-loop doc
+    are dropped, a diverse doc is kept, and the reported fractions are
+    exact for constructed inputs."""
+    from croawl_spark.operators.corpus import repetition_filter
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),  # 1 token
+        (2, "buy now buy now buy now buy now buy now buy now"),    # bigram loop
+        (3, "each word here appears exactly once across this document text"),
+        (4, "solo"),                                               # n=1 edge
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_filter(d, "doc_id", "text").collect()}
+    assert got[1]["distinct_frac"] == 0.1 and got[1]["top_token_frac"] == 1.0
+    assert not got[1]["keep"]
+    assert got[2]["top_bigram_frac"] > 0.9 and not got[2]["keep"]
+    assert got[3]["distinct_frac"] == 1.0 and got[3]["keep"]
+    assert got[4]["n_tokens"] == 1 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """PII scrub: e-mails and 6+-digit runs redacted everywhere they
+    appear, counts audit-accurate, clean text untouched."""
+    from croawl_spark.operators.corpus import scrub_pii
+
+    rows = [
+        (1, "write to alice.b@example.org or bob9@mail.co today"),
+        (2, "call 5551234567 or 123456 but not 12345"),
+        (3, "no personal data in this one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(d, "doc_id", "text").collect()}
+    assert got[1]["clean_text"] == "write to <EMAIL> or <EMAIL> today"
+    assert got[1]["n_emails"] == 2 and got[1]["n_longnums"] == 0
+    assert got[2]["clean_text"] == "call <NUM> or <NUM> but not 12345"
+    assert got[2]["n_longnums"] == 2
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[3]["n_emails"] == 0 and got[3]["n_longnums"] == 0
+
+
 def test_connected_components_star_equals_hashmin(spark):
     """Large-star/small-star (Kiveris et al.) must produce exactly the
     hash-min labeling on seeded random graphs (self-loops, multi-edges,
