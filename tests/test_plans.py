@@ -214,3 +214,30 @@ def test_robots_expr_equals_python_predicate(spark):
         )
         assert got[i] == want, (i, rules, path)
     assert got[302] is True
+
+
+def test_corpus_filter_ops_plan_shapes(spark):
+    """Round-4 corpus operators keep their intended physical shapes:
+    contamination's benchmark side is a broadcast semi-join and nothing
+    crosses into Python; doc_perplexity's only nested-loop is the
+    deliberate 1-row broadcast stats cross join; pii_scrub is a pure map
+    (ZERO exchanges); rep_filter aggregates with partial phases and no
+    cartesian anywhere."""
+    from croawl_spark.plans.verify_queries import QUERIES
+
+    def ep(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = ep(QUERIES["contamination"](spark, SF))
+    assert "LeftSemi, BuildRight" in p  # benchmark grams broadcast
+    assert "CartesianProduct" not in p and "PythonEval" not in p
+
+    p = ep(QUERIES["doc_perplexity"](spark, SF))
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats cross
+    assert "CartesianProduct" not in p
+
+    p = ep(QUERIES["pii_scrub"](spark, SF))
+    assert "Exchange" not in p and "PythonEval" not in p
+
+    p = ep(QUERIES["rep_filter"](spark, SF))
+    assert "partial" in p and "CartesianProduct" not in p

@@ -881,6 +881,25 @@ def test_decode_real_is_explicit_stub():
         decode_real(b"\x89PNG")
 
 
+def test_derive_n_planes_properties():
+    """Geometry derivation: monotone non-decreasing in corpus size,
+    clamped to [lo, hi], and the implied mean occupancy (n / 2^planes)
+    stays within 2x of the target across the clamp-free range."""
+    from croawl_spark.operators.ann import derive_n_planes
+
+    prev = 0
+    for exp in range(1, 40):
+        n = 1 << exp
+        p = derive_n_planes(n)
+        assert 5 <= p <= 24
+        assert p >= prev
+        prev = p
+        if 5 < p < 24:  # clamp-free: occupancy tracks the target
+            assert 32 <= n / (1 << p) <= 128  # target 64, 2x slack
+    assert derive_n_planes(0) == 5 and derive_n_planes(64) == 5
+    assert derive_n_planes(1 << 60, lo=3, hi=10) == 10  # hi clamp honored
+
+
 def test_lsh_bucket_cap_bounds_skewed_candidates(spark):
     """VERDICT r03 item #1 'done' criterion: on a skewed corpus (30%
     byte-identical copies of one vector + a distinct tail, tiny n_planes
