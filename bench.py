@@ -52,6 +52,8 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_embed_lsh",   # capped hyperplane-LSH embedding near-dup
         "rep_filter",        # Gopher repetition screens (token+bigram aggs)
         "pii_scrub",         # JVM regexp redaction pass
+        "doc_chunks",        # stride-aligned context-window chunking
+        "join_interval",     # binned interval-overlap join (no dedup pass)
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

@@ -367,3 +367,46 @@ def scrub_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(t, F.lit(email)).alias("n_emails"),
         F.regexp_count(t, F.lit(longnum)).alias("n_longnums"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token training windows (the
+    context-window chunking step between cleaning and packing: window
+    tokens per chunk, stride < window gives window-stride tokens of
+    overlap so no span is ever cut without context).
+
+    Chunk starts are a JVM ``sequence(1, max(1, n-window+stride),
+    stride)`` — one explode, no Python, no window functions. The stop
+    bound extends one stride past the last full window so the stride-
+    aligned tail chunk (clamped by slice at the document end) always
+    covers the final tokens: every token position lands in >= 1 chunk
+    (property-tested). A doc shorter than ``window`` yields exactly one
+    chunk; chunk_id = (start-1)/stride is dense per doc and
+    deterministic. Requires stride <= window (coverage would gap
+    otherwise).
+
+    -> (id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+    """
+    assert 0 < stride <= window, "stride must be in (0, window]"
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    stop = F.greatest(F.lit(1), n - F.lit(window - stride))
+    base = docs.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.explode(F.sequence(F.lit(1), stop, F.lit(stride))).alias("_s"),
+    )
+    chunk = F.slice("_w", F.col("_s"), window)
+    return base.select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / stride).cast("int").alias("chunk_id"),
+        F.col("_s").cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

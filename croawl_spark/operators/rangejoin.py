@@ -83,3 +83,68 @@ def range_join(
         # no dedup is needed — the pair set is exact as-is
     )
     return pairs
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_lo: str,
+    left_hi: str,
+    right_id: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval ⋈ interval overlap join ([l_lo,l_hi] ∩ [r_lo,r_hi] ≠ ∅,
+    inclusive) without a nested loop — the span-alignment primitive
+    (subtitle spans vs video-frame spans, fetch windows vs maintenance
+    windows, token spans vs annotation spans).
+
+    Same binning as range_join, on BOTH sides. A pair of overlapping
+    intervals shares every bin their intersection covers, which would
+    duplicate pairs; instead of a dropDuplicates shuffle, each pair is
+    emitted from exactly ONE canonical bin — the bin of
+    max(l_lo, r_lo), a point that always lies inside the intersection, so
+    both sides are guaranteed to have exploded into it. The join output
+    is therefore exact with no dedup pass.
+
+    lo/hi must be integral (cast timestamps to epoch seconds first).
+    -> (left_id, right_id) pairs.
+    """
+    w = int(bin_width)
+
+    def bins(df: DataFrame, idc: str, lo: str, hi: str, p: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(f"_{p}id"),
+                F.col(lo).cast("long").alias(f"_{p}lo"),
+                F.col(hi).cast("long").alias(f"_{p}hi"),
+            )
+            .filter(F.col(f"_{p}lo") <= F.col(f"_{p}hi"))
+            .select(
+                f"_{p}id",
+                f"_{p}lo",
+                f"_{p}hi",
+                F.explode(
+                    F.sequence(
+                        (F.col(f"_{p}lo") / w).cast("long"),
+                        (F.col(f"_{p}hi") / w).cast("long"),
+                    )
+                ).alias("_bin"),
+            )
+        )
+
+    lb = bins(left, left_id, left_lo, left_hi, "l")
+    rb = bins(right, right_id, right_lo, right_hi, "r")
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col("_llo") <= F.col("_rhi")) & (F.col("_rlo") <= F.col("_lhi"))
+        )
+        .filter(
+            F.col("_bin")
+            == (F.greatest("_llo", "_rlo") / w).cast("long")
+        )
+        .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id))
+    )

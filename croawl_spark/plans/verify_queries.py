@@ -1159,6 +1159,40 @@ def q_pii_scrub(spark, sf):
     return scrub_pii(d, "doc_id", "text")
 
 
+def q_doc_chunks(spark, sf):
+    """Context-window chunking (operators/corpus.py): 64-token windows at
+    stride 48 (16-token overlap); one JVM sequence+explode, slice clamps
+    the tail chunk."""
+    from croawl_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_join_interval(spark, sf):
+    """Interval-overlap join (operators/rangejoin.py): each maintenance
+    window (1h after every 53rd user's events) vs each session span (30min
+    after every 29th user's events) — both sides binned, every pair
+    emitted from the single canonical bin of max(lo_l, lo_r), so the pair
+    set is exact with NO dedup shuffle; never a nested loop."""
+    from croawl_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _t(spark, sf, "events")
+    sec = F.unix_timestamp(F.col("ts"))  # NTZ read under UTC session TZ
+    a = ev.filter(F.pmod("user_id", F.lit(53)) == 0).select(
+        F.col("event_id").alias("aid"), sec.alias("alo"), (sec + 3600).alias("ahi")
+    )
+    b = ev.filter(F.pmod("user_id", F.lit(29)) == 0).select(
+        F.col("event_id").alias("bid"), sec.alias("blo"), (sec + 1800).alias("bhi")
+    )
+    pairs = interval_overlap_join(
+        a, b, "aid", "alo", "ahi", "bid", "blo", "bhi", bin_width=900
+    )
+    return pairs.groupBy(F.col("aid").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("bid").alias("first_overlap_id"),
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Token-budget batch packing via a distributed global cumulative sum
     (two-phase range-partition + offsets — no single-partition window)."""
@@ -1249,14 +1283,15 @@ def q_host_rank(spark, sf):
 #     artifact through round 3 (all rows-only, registered past 49 in every
 #     earlier round) — after this round every registered key has driver
 #     evidence. host_rank additionally gained a DuckDB oracle this round.
-#   * positions 5-8: the 4 NEW round-4 operators (contamination,
-#     doc_perplexity, rep_filter, pii_scrub — all oracle-checked).
-#   * positions 9-28: keys with exactly ONE driver artifact (first sampled
-#     in r03: the 7 r03-new operators + the 13 backfilled keys).
-#   * positions 29-44: the 16 oracle keys rotated OUT in r03 (two driver
+#   * positions 5-10: the 6 NEW round-4 operators (contamination,
+#     doc_perplexity, rep_filter, pii_scrub, doc_chunks, join_interval —
+#     all oracle-checked).
+#   * positions 11-30: keys with exactly ONE driver artifact (first
+#     sampled in r03: the 7 r03-new operators + the 13 backfilled keys).
+#   * positions 31-46: the 16 oracle keys rotated OUT in r03 (two driver
 #     artifacts each, but stale by one round).
-#   * positions 45-49: a family-spread slice of the twice-plus-sampled
-#     substrate (filter/join/agg/udaf).
+#   * positions 47-49: a small family-spread slice of the twice-plus-
+#     sampled substrate.
 #   * positions 50+: remaining oracle keys (all driver-green in ≥2 rounds)
 #     and the remaining rows-only keys (each has an independent semantic
 #     test in tests/ AND an r01-r03 driver row).
@@ -1276,6 +1311,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_perplexity": q_doc_perplexity,
     "rep_filter": q_rep_filter,
     "pii_scrub": q_pii_scrub,
+    "doc_chunks": q_doc_chunks,
+    "join_interval": q_join_interval,
     # -- single-artifact keys (new or first-sampled in r03) --
     "bm25": q_bm25,
     "pack_sequences": q_pack_sequences,
@@ -1872,6 +1909,28 @@ ORACLE["contamination"] = (
     "COALESCE(h.n_shared, 0) > 0 AS contaminated "
     "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d "
     "LEFT JOIN hits h USING (doc_id)"
+)
+
+ORACLE["doc_chunks"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "s AS (SELECT doc_id, w, "
+    "unnest(range(1, greatest(1, len(w) - 16) + 1, 48)) AS st FROM t) "
+    "SELECT doc_id, CAST((st - 1) // 48 AS INT) AS chunk_id, "
+    "CAST(st AS INT) AS start_tok, "
+    "CAST(len(w[st:st+63]) AS INT) AS n_chunk_tokens, "
+    "array_to_string(w[st:st+63], ' ') AS chunk_text FROM s"
+)
+
+ORACLE["join_interval"] = (
+    "WITH e AS (SELECT event_id, user_id, "
+    "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events), "
+    "a AS (SELECT event_id AS aid, sec AS alo, sec + 3600 AS ahi FROM e "
+    "WHERE user_id % 53 = 0), "
+    "b AS (SELECT event_id AS bid, sec AS blo, sec + 1800 AS bhi FROM e "
+    "WHERE user_id % 29 = 0) "
+    "SELECT a.aid AS event_id, COUNT(*) AS n_overlaps, "
+    "MIN(b.bid) AS first_overlap_id "
+    "FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi GROUP BY a.aid"
 )
 
 ORACLE["rep_filter"] = (

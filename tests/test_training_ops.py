@@ -649,6 +649,63 @@ def test_range_join_equals_inequality_join_without_nlj(spark):
         assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_interval_overlap_join_equals_bruteforce_no_nlj_no_dups(spark):
+    """interval ⋈ interval overlap == the naive inequality join at several
+    bin widths (negatives, containment, touching endpoints included); the
+    plan has no nested loop / cartesian; and the canonical-bin emission
+    really produces each pair exactly once (no dedup shuffle needed)."""
+    import random
+
+    from croawl_spark.operators.rangejoin import interval_overlap_join
+
+    rnd = random.Random(23)
+    A = [(i, lo, lo + rnd.randrange(0, 150))
+         for i, lo in ((i, rnd.randrange(-500, 500)) for i in range(120))]
+    B = [(j, lo, lo + rnd.randrange(0, 90))
+         for j, lo in ((j, rnd.randrange(-600, 600)) for j in range(200))]
+    want = sorted(
+        (a, b) for a, alo, ahi in A for b, blo, bhi in B
+        if alo <= bhi and blo <= ahi
+    )
+    adf = spark.createDataFrame(A, "aid long, alo long, ahi long")
+    bdf = spark.createDataFrame(B, "bid long, blo long, bhi long")
+    for width in (7, 64, 1000):
+        out = interval_overlap_join(
+            adf, bdf, "aid", "alo", "ahi", "bid", "blo", "bhi", bin_width=width
+        )
+        rows = [(r["aid"], r["bid"]) for r in out.collect()]
+        assert sorted(rows) == want, width
+        assert len(rows) == len(set(rows)), f"duplicate pairs at width {width}"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_chunk_documents_covers_and_clamps(spark):
+    """Chunking: starts advance by stride, the tail chunk clamps at the
+    doc end, short docs yield one chunk, and every token position is
+    covered by at least one chunk."""
+    from croawl_spark.operators.corpus import chunk_documents
+
+    toks = [f"t{i}" for i in range(150)]
+    rows = [(1, " ".join(toks)), (2, "a b c"), (3, " ".join(f"x{i}" for i in range(64)))]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, "doc_id", "text", window=64, stride=48)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r.asDict())
+    c1 = sorted(got[1], key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in c1] == [1, 49, 97]
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 54]  # tail clamped
+    assert c1[0]["chunk_text"].split(" ")[:2] == ["t0", "t1"]
+    assert c1[2]["chunk_text"].split(" ")[-1] == "t149"
+    covered = set()
+    for r in c1:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(1, 151))  # every token position covered
+    assert len(got[2]) == 1 and got[2][0]["n_chunk_tokens"] == 3
+    assert len(got[3]) == 1 and got[3][0]["n_chunk_tokens"] == 64
+
+
 def test_pagerank_matches_numpy_oracle(spark):
     """Spark PageRank (converging joins + dangling-mass redistribution)
     vs a dense numpy power-method oracle with identical semantics."""
