@@ -516,3 +516,42 @@ def test_load_seeds_preserves_file_order(spark, tmp_path):
     f.write_text("\n".join(lines) + "\n")
     got = {r["url"]: r["seed_seq"] for r in load_seeds(spark, str(f)).collect()}
     assert got == {u: i for i, u in enumerate(lines)}
+
+
+def test_spark_submit_py_files_deployment(tmp_path):
+    """north_rule deployment surface: the batch job must run under
+    ``spark-submit --py-files croawl_spark.zip`` with the package shipped
+    ONLY via the zip (cwd is outside the repo, so imports cannot fall
+    back to the source tree) and emit per-cycle metrics."""
+    import json
+    import os
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = tmp_path / "croawl_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(repo, "croawl_spark")):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("\n".join(synth.gen_seeds(30)))
+    out = subprocess.run(
+        [
+            "spark-submit", "--py-files", str(zpath),
+            os.path.join(repo, "croawl_spark", "plans", "crawl_job.py"),
+            "--seeds", str(seeds), "--cycles", "1", "--budget", "2",
+            "--warehouse", str(tmp_path / "wh"),
+        ],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith('{"cycle"')]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["scheduled"] > 0
