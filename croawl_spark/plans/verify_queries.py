@@ -1193,6 +1193,37 @@ def q_join_interval(spark, sf):
     )
 
 
+def q_stream_corpus_ingest(spark, sf):
+    """Streaming training-corpus ingest (ST6, streaming/jobs.py): two
+    parquet micro-batches with a planted cross-batch duplicate flow
+    through quality screens + cross-batch content dedup into the corpus
+    log. Rows-only (foreachBatch streaming job); stream == batch and
+    resume semantics pinned in tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+
+    from croawl_spark.streaming.jobs import stream_corpus_ingest
+
+    d = "/tmp/croawl_stream_ingest"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(f"{d}/docs")
+    docs = _t(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") < 150)
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
+        docs.filter(F.col("doc_id") == 7).select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        ).select(*docs.columns)
+    )
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+        part = glob.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+        os.rename(part, f"{d}/docs/b{i}.parquet")
+    io = stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+    return io.read_log("corpus").select("doc_id", "lang", "source")
+
+
 def q_pack_sequences(spark, sf):
     """Token-budget batch packing via a distributed global cumulative sum
     (two-phase range-partition + offsets — no single-partition window)."""
@@ -1313,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "doc_chunks": q_doc_chunks,
     "join_interval": q_join_interval,
+    "stream_corpus_ingest": q_stream_corpus_ingest,
     # -- single-artifact keys (new or first-sampled in r03) --
     "bm25": q_bm25,
     "pack_sequences": q_pack_sequences,

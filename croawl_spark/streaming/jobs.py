@@ -10,6 +10,10 @@ ST4  session windows      — per-host activity sessions (gap = politeness).
 ST5  stateful dedup       — dropDuplicatesWithinWatermark on url_hash, and
                             per-host last-fetch state via
                             applyInPandasWithState.
+ST6  corpus ingest        — streaming training-corpus ingest: per-batch
+                            quality screens + cross-batch content dedup
+                            into an append-only corpus log (resumable via
+                            offset checkpoint + cycle manifest).
 """
 
 from __future__ import annotations
@@ -219,3 +223,86 @@ def host_fetch_state(fetches: DataFrame, ts_col: str = "ts") -> DataFrame:
             update, _GAP_OUT, _GAP_STATE, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ST6 (training side) — streaming corpus ingest
+# ---------------------------------------------------------------------------
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    base_dir: str,
+    resume: bool = False,
+) -> "TableIO":
+    """Streaming training-corpus ingest: document batches (one parquet
+    file per micro-batch) flow through quality screening and cross-batch
+    exact-content dedup into an append-only corpus log — the
+    training-data counterpart of the streaming crawl loop (ST1), using
+    the same TableIO cycle manifest + Spark offset checkpoint pairing so
+    ingest is resumable mid-stream.
+
+    Per micro-batch (foreachBatch):
+      1. Gopher repetition screens (operators/corpus.repetition_filter)
+         drop boilerplate/spam — per-doc stats, batch-local by design.
+      2. first-wins exact dedup WITHIN the batch on xxhash64(text)
+         (min doc_id survives — deterministic at any parallelism), then
+      3. anti-join against the accumulated content_seen log (all previous
+         batches) — the Mercator content-seen pattern at corpus level;
+         the log grows O(novel docs), appended once per batch.
+      4. survivors append to the ``corpus`` log; hashes to
+         ``content_seen``; both in one atomic cycle commit.
+
+    Equals the batch pipeline over the concatenated input (quality filter
+    then global first-wins by (hash, doc_id)) — pinned by
+    tests/test_streaming.py::test_stream_corpus_ingest_equals_batch.
+    64-bit hash collisions alias distinct texts at birthday(2^64) odds
+    (same caveat as operators/dedup.mark_content_dups; two-level exact
+    confirm is the upgrade path if that ever matters).
+    """
+    from croawl_spark.operators.corpus import repetition_filter
+    from croawl_spark.operators.dedup import first_wins
+    from croawl_spark.sources.tableio import TableIO
+
+    io = TableIO(spark, base_dir)
+    if not resume:
+        io.destroy()
+        io = TableIO(spark, base_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cycle = io.last_committed_cycle() + 1
+        kept = batch_df.join(
+            repetition_filter(batch_df, "doc_id", "text")
+            .filter("keep")
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        hashed = kept.withColumn("_h", F.xxhash64("text"))
+        batch_first = first_wins(hashed, "_h", ["doc_id"])
+        try:
+            seen = io.read_log("content_seen")
+            novel = batch_first.join(seen.select("_h"), "_h", "left_anti")
+        except FileNotFoundError:
+            novel = batch_first
+        novel = novel.localCheckpoint()  # both sinks, one evaluation
+        io.write_snapshot(novel.drop("_h"), "corpus", cycle)
+        io.write_snapshot(
+            novel.select("_h", F.col("doc_id").alias("first_doc_id")),
+            "content_seen",
+            cycle,
+        )
+        io.commit_cycle(cycle, ["corpus", "content_seen"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", f"{base_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return io

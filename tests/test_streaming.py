@@ -133,3 +133,97 @@ def test_host_fetch_state(spark):
         got = {r["host"]: (r["n_fetches"], r["max_gap_s"]) for r in spark.sql("select * from hstate").collect()}
         assert got["a.test"] == (3, 30)
         assert got["b.test"] == (1, 0)
+
+
+def test_stream_corpus_ingest_equals_batch(spark):
+    """ST6 (training side): streaming corpus ingest over 3 single-file
+    micro-batches — with exact duplicates planted both WITHIN a batch and
+    ACROSS batches — must equal the batch pipeline over the concatenated
+    input (quality screen, then global first-wins on content hash)."""
+    from croawl_spark.operators.corpus import repetition_filter
+    from croawl_spark.operators.dedup import first_wins
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") < 120)
+    # within-batch dup (id 10 copied as 90010) + fresh rows
+    b2 = (
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240))
+        .unionByName(
+            docs.filter(F.col("doc_id") == 10).select(
+                (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang",
+                "source", "n_chars",
+            ).select(*docs.columns)
+        )
+    )
+    # cross-batch dups: ids 5 and 130 re-arrive with new ids in batch 3
+    b3 = (
+        docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 360))
+        .unionByName(
+            docs.filter(F.col("doc_id").isin(5, 130)).select(
+                (F.col("doc_id") + 91000).alias("doc_id"), "text", "lang",
+                "source", "n_chars",
+            ).select(*docs.columns)
+        )
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import glob as _g
+        import os as _os
+
+        _os.makedirs(f"{d}/docs")
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            # one FILE per micro-batch: move the part file up
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+        io = SJ.stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        n_cycles = io.last_committed_cycle() + 1
+    allb = b1.unionByName(b2).unionByName(b3)
+    kept = allb.join(
+        repetition_filter(allb, "doc_id", "text").filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    want = {
+        r["doc_id"]
+        for r in first_wins(
+            kept.withColumn("_h", F.xxhash64("text")), "_h", ["doc_id"]
+        ).collect()
+    }
+    assert n_cycles == 3  # one commit per micro-batch file
+    assert got == want
+    assert 90010 not in got and 91005 not in got and 91130 not in got
+
+
+def test_stream_corpus_ingest_resume(spark):
+    """ST6 resumability: restart the ingest after new batch files appear —
+    Spark's offset checkpoint skips the already-processed files and only
+    the new batch commits a new cycle."""
+    import glob as _g
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    parts = [
+        docs.filter(F.col("doc_id") < 100),
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+
+        def drop_file(i):
+            parts[i].coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+
+        drop_file(0)
+        drop_file(1)
+        io = SJ.stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+        assert io.last_committed_cycle() == 1
+        n_before = io.read_log("corpus").count()
+        drop_file(2)
+        io = SJ.stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh", resume=True)
+        assert io.last_committed_cycle() == 2  # exactly ONE new cycle
+        assert io.read_log("corpus").count() > n_before
+        # batches 0/1 were not re-ingested: corpus doc_ids stay unique
+        c = io.read_log("corpus")
+        assert c.select("doc_id").distinct().count() == c.count()
