@@ -187,6 +187,70 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    if "--scaling-corpus" in sys.argv:
+        # Second scaling axis: the TRAINING-DATA pipeline (not the crawl)
+        # at two parallelism levels — a compute-heavy chain of corpus
+        # operators over identical sf0.1 input, fresh process per leg.
+        import subprocess
+
+        out = {}
+        for n in (4, 16):
+            r = subprocess.run(
+                [sys.executable, __file__, "--corpus-only"],
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            out[f"local{n}"] = json.loads(line)
+        t4 = out["local4"]["corpus_wall_sec"]
+        t16 = out["local16"]["corpus_wall_sec"]
+        out["scaling_efficiency_4_to_16"] = round((t4 / t16) / 4.0, 3)
+        print(json.dumps(out))
+        return
+
+    if "--corpus-only" in sys.argv:
+        # A compute-bound corpus-dedup workload: the sf documents table
+        # inflated 20x with distinct ids (every doc gains 19 exact copies
+        # — a heavy but realistic duplication profile), pushed through the
+        # full near-dup pipeline: shingle->minhash->LSH band join ->
+        # cluster resolution -> survivor selection. ~100k docs of real
+        # Arrow + shuffle work per leg, so the wall measures the engine,
+        # not fixed job-scheduling overhead (unlike the per-key chain,
+        # which is overhead-bound at sf0.1 — see BENCH/BASELINE.md).
+        from functools import reduce
+
+        from pyspark.sql import DataFrame, functions as Fn
+
+        from croawl_spark.operators.cluster import keep_one_per_cluster
+        from croawl_spark.operators.minhash import minhash_dedup_pairs
+
+        spark = get_spark(f"bench-corpus-{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * int(cpus))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        copies = [
+            docs.select(
+                (Fn.col("doc_id") + Fn.lit(k * 1_000_000)).alias("doc_id"),
+                "text",
+            )
+            for k in range(20)
+        ]
+        big = reduce(DataFrame.unionByName, copies)
+        big.count()  # warmup: scan + JVM spin-up outside the timed window
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(big, "doc_id", "text", threshold=0.9)
+        kept = keep_one_per_cluster(big, pairs, "doc_id")
+        n_kept = kept.count()
+        wall = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "corpus_wall_sec": wall,
+            "rows": {"input": 20 * docs.count(), "kept": n_kept},
+            "docs_per_sec": round(20 * docs.count() / wall, 1),
+        }))
+        spark.stop()
+        return
+
     if "--crawl-only" in sys.argv:
         spark = get_spark(f"bench-crawl-{cpus}", master=f"local[{cpus}]",
                           shuffle_partitions=2 * int(cpus))
