@@ -7,7 +7,7 @@ explicit min-by over a total order — identical result at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -86,7 +86,7 @@ def exact_dedup(
     # three consumers (singles, dup_keys, the gate count) exactly like a
     # cache, but are released by the ContextCleaner when the returned
     # DataFrame is garbage-collected — persist() pinned them in the cache
-    # manager forever (one leaked aggregate per call across a 79-key
+    # manager forever (one leaked aggregate per call across the full-key
     # battery / bench loop).
     lvl1 = keyed.groupBy("_h", "_len").agg(
         F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("_gc")

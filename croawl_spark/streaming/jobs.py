@@ -1,4 +1,4 @@
-"""Structured Streaming operators (SURVEY.md §2.9 ST1-ST5).
+"""Structured Streaming operators (SURVEY.md §2.9 ST1-ST5, + ST6 r04).
 
 ST1  stream_crawl         — micro-batch crawl loop: each trigger runs one
                             scheduler cycle via foreachBatch; Spark's
@@ -18,7 +18,6 @@ ST6  corpus ingest        — streaming training-corpus ingest: per-batch
 
 from __future__ import annotations
 
-import datetime as _dt
 from typing import Iterator
 
 import pandas as pd
@@ -26,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType,
     LongType,
     StringType,
     StructField,
