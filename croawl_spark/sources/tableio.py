@@ -94,12 +94,26 @@ class TableIO:
     def _dir(self, table: str, cycle: int) -> str:
         return os.path.join(self.base, table, f"cycle={cycle}")
 
-    def write_snapshot(self, df: DataFrame, table: str, cycle: int) -> None:
-        """Uncommitted write; becomes visible only after commit_cycle."""
+    def write_snapshot(
+        self, df: DataFrame, table: str, cycle: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Uncommitted write; becomes visible only after commit_cycle.
+
+        ``partition_by`` lays the segment out as Hive-style subdirectories
+        (e.g. ``bucket=<pmod(hash,N)>``) so readers filtering on those
+        columns get DIRECTORY-level pruning — the parquet emulation of
+        Iceberg's ``PARTITIONED BY (bucket(N, col))``. Used by the ingest
+        content_seen log: the exact-confirm anti-join only reads the
+        buckets its maybe-seen candidates hash into.
+        """
         path = self._dir(table, cycle)
         if os.path.exists(path):  # replay after crash: idempotent overwrite
             shutil.rmtree(path)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def read_snapshot(self, table: str, cycle: int | None = None) -> DataFrame:
         m = self.read_manifest()
@@ -121,10 +135,25 @@ class TableIO:
             cycles = [c for c in cycles if c <= upto_cycle]
         if not cycles:
             raise FileNotFoundError(f"no committed data for {table}")
-        df = self.spark.read.parquet(*[self._dir(table, c) for c in cycles])
-        return df
+        dirs = [self._dir(table, c) for c in cycles]
+        try:
+            return self.spark.read.parquet(*dirs)
+        except Exception:
+            # Hive-partitioned segments (write_snapshot partition_by=...)
+            # can't share one multi-root scan (CONFLICTING_DIRECTORY_
+            # STRUCTURES); union per-segment scans instead — bounded by
+            # compaction to <= compact_every branches, and partition
+            # (directory) pruning still applies inside each branch.
+            dfs = [self.spark.read.parquet(d) for d in dirs]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
 
-    def compact_log(self, df: DataFrame, table: str, cycle: int) -> None:
+    def compact_log(
+        self, df: DataFrame, table: str, cycle: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Replace ALL committed segments of a log table with one compacted
         segment at ``cycle`` (maintenance path: seen-log expiry/compaction).
         The data is written to a fresh directory first and the manifest
@@ -139,7 +168,7 @@ class TableIO:
         # the compacted df usually READS the old segments — writing over an
         # existing segment would delete its input mid-scan
         assert cycle not in old_cycles, "compact to a fresh cycle number"
-        self.write_snapshot(df, table, cycle)
+        self.write_snapshot(df, table, cycle, partition_by=partition_by)
         m = self.read_manifest()
         m["tables"][table] = [cycle]
         m["last_cycle"] = max(m["last_cycle"], cycle)

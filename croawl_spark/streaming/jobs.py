@@ -232,6 +232,9 @@ def stream_corpus_ingest(
     docs_dir: str,
     base_dir: str,
     resume: bool = False,
+    n_buckets: int = 16,
+    m_bits: int = 1 << 15,
+    compact_every: int = 8,
 ) -> "TableIO":
     """Streaming training-corpus ingest: document batches (one parquet
     file per micro-batch) flow through quality screening and cross-batch
@@ -245,31 +248,70 @@ def stream_corpus_ingest(
          drop boilerplate/spam — per-doc stats, batch-local by design.
       2. first-wins exact dedup WITHIN the batch on xxhash64(text)
          (min doc_id survives — deterministic at any parallelism), then
-      3. anti-join against the accumulated content_seen log (all previous
-         batches) — the Mercator content-seen pattern at corpus level;
-         the log grows O(novel docs), appended once per batch.
-      4. survivors append to the ``corpus`` log; hashes to
-         ``content_seen``; both in one atomic cycle commit.
+      3. cross-batch dedup with the SAME discipline as the crawl's
+         URL-seen path (plans/cycle.py J1): a per-bucket Bloom
+         ``content_filter`` snapshot (operators/seenfilter.build_filter,
+         incrementally OR-extended each batch) is probed FIRST;
+         "definitely new" rows skip the exact join entirely, and only the
+         maybe-seen remainder (dup fraction + FP rate) anti-joins the
+         ``content_seen`` log — restricted, via the log's
+         ``bucket=pmod(_h, n_buckets)`` Hive partitioning, to the
+         directories those candidates hash into. A batch with zero
+         maybe-seen rows never touches the log at all. False positives
+         are erased by the exact join; false negatives are impossible
+         (Bloom), so the result is byte-identical to the plain anti-join.
+      4. survivors append to the ``corpus`` log; hashes to the bucketed
+         ``content_seen`` log; the extended filter snapshot and a
+         per-batch ``ingest_metrics`` row (probe/read-volume lineage)
+         commit in the same atomic cycle.
+      5. every ``compact_every`` batches the content_seen segments fold
+         into ONE bucketed segment (TableIO.compact_log), so the read
+         side stays O(live hashes) in <= compact_every segments forever
+         — the ingest analogue of the frontier tombstone compaction.
+
+    Filter geometry (n_buckets, m_bits) is FIXED per warehouse and
+    recorded in the manifest counters; resume validates it (a geometry
+    change requires a fresh warehouse or an offline filter rebuild —
+    exactness would survive either way, only the FP rate is at stake).
+    Scale sizing is the seenfilter module's: grow n_buckets with the
+    corpus (~10 bits/item per bucket), keeping bucket rows small.
 
     Equals the batch pipeline over the concatenated input (quality filter
     then global first-wins by (hash, doc_id)) — pinned by
     tests/test_streaming.py::test_stream_corpus_ingest_equals_batch.
+    Per-batch read volume is pinned by
+    tests/test_streaming.py::test_stream_corpus_ingest_read_volume.
     64-bit hash collisions alias distinct texts at birthday(2^64) odds
     (same caveat as operators/dedup.mark_content_dups; two-level exact
     confirm is the upgrade path if that ever matters).
     """
     from croawl_spark.operators.corpus import repetition_filter
     from croawl_spark.operators.dedup import first_wins
+    from croawl_spark.operators.seenfilter import build_filter, probe_filter
     from croawl_spark.sources.tableio import TableIO
 
     io = TableIO(spark, base_dir)
     if not resume:
         io.destroy()
         io = TableIO(spark, base_dir)
+    else:
+        c = io.counters()
+        got = (c.get("ingest_n_buckets"), c.get("ingest_m_bits"))
+        if got != (None, None) and got != (n_buckets, m_bits):
+            raise ValueError(
+                f"content_filter geometry mismatch: warehouse has "
+                f"(n_buckets, m_bits)={got}, caller asked {(n_buckets, m_bits)}"
+            )
     schema = spark.read.parquet(docs_dir).schema
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         cycle = io.last_committed_cycle() + 1
+        n_seen_segments = len(
+            io.read_manifest()["tables"].get("content_seen", [])
+        )
         kept = batch_df.join(
             repetition_filter(batch_df, "doc_id", "text")
             .filter("keep")
@@ -278,20 +320,93 @@ def stream_corpus_ingest(
             "left_semi",
         )
         hashed = kept.withColumn("_h", F.xxhash64("text"))
-        batch_first = first_wins(hashed, "_h", ["doc_id"])
-        try:
-            seen = io.read_log("content_seen")
-            novel = batch_first.join(seen.select("_h"), "_h", "left_anti")
-        except FileNotFoundError:
-            novel = batch_first
-        novel = novel.localCheckpoint()  # both sinks, one evaluation
-        io.write_snapshot(novel.drop("_h"), "corpus", cycle)
-        io.write_snapshot(
-            novel.select("_h", F.col("doc_id").alias("first_doc_id")),
-            "content_seen",
-            cycle,
+        # seenfilter keys on "url_hash"; content hash plays that role here
+        cand = first_wins(hashed, "_h", ["doc_id"]).withColumnRenamed(
+            "_h", "url_hash"
         )
-        io.commit_cycle(cycle, ["corpus", "content_seen"])
+        try:
+            filt = io.read_snapshot("content_filter")
+        except FileNotFoundError:
+            filt = None
+        n_seen_read = 0
+        if filt is None:  # first batch of a fresh warehouse: all novel
+            novel = cand.localCheckpoint()
+            n_batch, n_maybe, seen_scanned = novel.count(), 0, False
+        else:
+            probed = probe_filter(cand, filt, n_buckets, m_bits).localCheckpoint()
+            fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            n_batch = probed.count()
+            n_maybe = n_batch - fresh.count()
+            if n_maybe == 0:
+                # common steady-state: nothing hashes into the filter —
+                # the content_seen log is NOT read this batch
+                novel = fresh
+                seen_scanned = False
+            else:
+                hit_buckets = [
+                    r[0]
+                    for r in maybe.select(
+                        F.pmod("url_hash", F.lit(n_buckets)).cast("int")
+                    ).distinct().collect()
+                ]  # bounded: <= n_buckets rows
+                seen = io.read_log("content_seen").filter(
+                    F.col("bucket").isin(hit_buckets)  # directory pruning
+                )
+                n_seen_read = seen.count()  # actual pruned read volume
+                survivors = maybe.join(
+                    seen.select(F.col("_h").alias("url_hash")),
+                    "url_hash",
+                    "left_anti",
+                )
+                novel = fresh.unionByName(survivors).localCheckpoint()
+                seen_scanned = True
+        n_novel = novel.count()
+        tables = ["ingest_metrics"]
+        if n_novel:
+            # an all-duplicate batch (e.g. a crash replay of a committed
+            # batch) writes NO data segments: an empty Hive-partitioned
+            # segment has no bucket= dirs and would poison the multi-root
+            # content_seen read; the filter is unchanged by an empty delta
+            # anyway
+            io.write_snapshot(novel.drop("url_hash"), "corpus", cycle)
+            io.write_snapshot(
+                novel.select(
+                    F.col("url_hash").alias("_h"),
+                    F.col("doc_id").alias("first_doc_id"),
+                    F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"),
+                ),
+                "content_seen",
+                cycle,
+                partition_by=["bucket"],
+            )
+            filt_next = build_filter(
+                novel.select("url_hash"), n_buckets, m_bits, existing=filt
+            )
+            io.write_snapshot(filt_next, "content_filter", cycle)
+            tables = ["corpus", "content_seen", "content_filter", "ingest_metrics"]
+        metrics = spark.createDataFrame(
+            [(
+                cycle, n_batch, n_maybe, n_novel, seen_scanned,
+                n_seen_read, n_seen_segments,
+                round(_time.perf_counter() - t0, 3),
+            )],
+            "cycle long, n_batch long, n_maybe long, n_novel long, "
+            "seen_scanned boolean, n_seen_rows_read long, "
+            "n_seen_segments long, wall_sec double",
+        )
+        io.write_snapshot(metrics, "ingest_metrics", cycle)
+        io.commit_cycle(
+            cycle,
+            tables,
+            counters={"ingest_n_buckets": n_buckets, "ingest_m_bits": m_bits},
+        )
+        segs = io.read_manifest()["tables"].get("content_seen", [])
+        if compact_every and len(segs) >= compact_every:
+            live = io.read_log("content_seen")
+            io.compact_log(
+                live, "content_seen", cycle + 1, partition_by=["bucket"]
+            )
 
     q = (
         spark.readStream.schema(schema)

@@ -227,3 +227,106 @@ def test_stream_corpus_ingest_resume(spark):
         # batches 0/1 were not re-ingested: corpus doc_ids stay unique
         c = io.read_log("corpus")
         assert c.select("doc_id").distinct().count() == c.count()
+
+
+def test_stream_corpus_ingest_read_volume(spark):
+    """ST6 scale guard (VERDICT r04 item #1): the cross-batch dedup must
+    NOT scan the accumulated content_seen log every batch —
+      * a batch with no cross-history duplicates is fully resolved by the
+        Bloom prefilter (seen_scanned=False in its metrics row: the log
+        was never read);
+      * a batch WITH planted dups reads the log, but only its maybe-seen
+        remainder (n_maybe ~= dups + FPs << n_batch) hits the exact join;
+      * compaction bounds the manifest to <= compact_every content_seen
+        segments, and the log holds exactly one row per live corpus doc
+        (O(live), never O(history));
+      * the log is Hive-partitioned on bucket=pmod(_h, n_buckets) so the
+        exact-confirm read prunes to the candidates' directories.
+    """
+    import glob as _g
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lo = [docs.filter((F.col("doc_id") >= i * 100) & (F.col("doc_id") < (i + 1) * 100)) for i in range(5)]
+    # batch 4 carries dups of batch-0 content (ids re-keyed): cross-HISTORY
+    # dups that an un-prefiltered design would pay a full log scan to find
+    # ids 3 and 5 pass the quality screen (id 7 does not, and a screened-out
+    # doc never reaches the dedup probe in either batch)
+    dup = docs.filter(F.col("doc_id").isin(3, 5)).select(
+        (F.col("doc_id") + 95000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    parts = lo[:4] + [lo[4].unionByName(dup)]
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+        for i, b in enumerate(parts):
+            b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+        io = SJ.stream_corpus_ingest(
+            spark, f"{d}/docs", f"{d}/wh", compact_every=2
+        )
+        # batch cycle numbers skip over compaction commits: order by cycle
+        m = sorted(
+            io.read_log("ingest_metrics").collect(), key=lambda r: r["cycle"]
+        )
+        assert len(m) == 5
+        # dup-free batches never read the log (prefilter early-exit);
+        # FP odds at this fill (~500 hashes / 16x32Ki-bit buckets) ~ 0
+        for r in m[1:4]:
+            assert not r["seen_scanned"], f"cycle {r['cycle']} scanned the log"
+            assert r["n_maybe"] == 0
+        # the dup batch reads the log, but only the 2 planted dups (+FP~0)
+        # reach the exact join — not the whole batch
+        assert m[4]["seen_scanned"]
+        assert 2 <= m[4]["n_maybe"] <= 4
+        assert m[4]["n_batch"] > 10 * m[4]["n_maybe"]  # probe << batch
+        # log volume: one row per live doc, bounded segment count
+        assert io.read_log("content_seen").count() == io.read_log("corpus").count()
+        mf = io.read_manifest()
+        assert 0 < len(mf["tables"]["content_seen"]) <= 2
+        # planted dups were dropped
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        assert 95003 not in got and 95005 not in got
+        # physical layout: bucket=N partition dirs inside each segment
+        seg = sorted(mf["tables"]["content_seen"])[-1]
+        assert _g.glob(f"{d}/wh/content_seen/cycle={seg}/bucket=*")
+
+
+def test_stream_corpus_ingest_all_duplicate_batch(spark):
+    """An entirely-duplicate batch (the shape of a crash replay of an
+    already-committed batch) must commit a metrics-only cycle: no empty
+    data segments (an empty Hive-partitioned segment would poison the
+    multi-root content_seen read), corpus unchanged, and the stream keeps
+    working for later fresh batches."""
+    import glob as _g
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") < 100)
+    # batch 1 = same CONTENT as batch 0, re-keyed -> 100% cross-batch dups
+    b1 = b0.select(
+        (F.col("doc_id") + 70000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    b2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+        for i, b in enumerate((b0, b1, b2)):
+            b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+        io = SJ.stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+        m = sorted(
+            io.read_log("ingest_metrics").collect(), key=lambda r: r["cycle"]
+        )
+        assert len(m) == 3
+        assert m[1]["n_novel"] == 0 and m[1]["seen_scanned"]
+        # the all-dup cycle committed NO data segments
+        mf = io.read_manifest()
+        assert m[1]["cycle"] not in mf["tables"]["content_seen"]
+        assert m[1]["cycle"] not in mf["tables"]["corpus"]
+        # corpus = batch 0 + batch 2 survivors only; reads still work
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        assert not any(70000 <= i < 80000 for i in got)
+        assert io.read_log("content_seen").count() == len(got)
