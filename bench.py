@@ -23,6 +23,19 @@ import tempfile
 import time
 
 
+def _last_json_line(r, leg: str) -> str:
+    """Extract a scaling-leg subprocess's JSON result line, surfacing the
+    child's stderr if it crashed (ADVICE r04: a bare [-1] on an empty line
+    list raised IndexError and swallowed the real failure, e.g. an OOM)."""
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        tail = (r.stderr or "")[-2000:]
+        raise RuntimeError(
+            f"scaling leg {leg} failed (rc={r.returncode}); stderr tail:\n{tail}"
+        )
+    return lines[-1]
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from croawl_spark.plans.verify_queries import QUERIES
 
@@ -54,6 +67,10 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "pii_scrub",         # JVM regexp redaction pass
         "doc_chunks",        # stride-aligned context-window chunking
         "join_interval",     # binned interval-overlap join (no dedup pass)
+        # added in round 5:
+        "dedup_substring",   # shingle-hash agg + per-doc span merge
+        "dedup_substring_rm",# keep-first removal + JVM text rebuild
+        "dedup_cluster_star",# large/small-star CC (megachain path)
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}
@@ -85,16 +102,19 @@ def _seed_df(spark, n: int):
     return spark.range(n).mapInPandas(gen, "url string, seed_seq long")
 
 
-def _load_guard(max_load: float = 2.0, wait_sec: float = 120.0) -> dict:
+def _load_guard(max_load: float = 2.0, wait_sec: float = 600.0) -> dict:
     """Ambient-load guard: the r02 driver artifact recorded a ~20%-low crawl
-    rate from a box still draining other work (idle reruns contradicted it).
-    Wait (bounded) for the 1-minute load average to settle below max_load
-    and RECORD the final value — a contaminated run is then visible in the
-    artifact instead of masquerading as a regression."""
+    rate from a box still draining other work (idle reruns contradicted it),
+    and the r04 artifact's 120 s budget expired while the box was still
+    draining (load 2.9 at start, microbenches inflated up to 3.5x). Wait
+    (bounded, default ~10 min — VERDICT r04 item #3) for the 1-minute load
+    average to settle below max_load and RECORD the final value — a
+    contaminated run is then visible in the artifact instead of
+    masquerading as a regression."""
     t0 = time.time()
     load = os.getloadavg()[0]
     while load > max_load and time.time() - t0 < wait_sec:
-        time.sleep(5)
+        time.sleep(10)
         load = os.getloadavg()[0]
     return {
         "load1_at_start": round(load, 2),
@@ -103,12 +123,13 @@ def _load_guard(max_load: float = 2.0, wait_sec: float = 120.0) -> dict:
     }
 
 
-def _bench_crawl_once(spark, n_seeds: int, n_cycles: int = 3) -> dict:
+def _bench_crawl_once(spark, n_seeds: int, n_cycles: int = 3,
+                      guard_wait: float = 120.0) -> dict:
     from croawl_spark.plans.cycle import CrawlConfig, bootstrap, run_cycle
     from croawl_spark.sources.tableio import TableIO
 
     cfg = CrawlConfig(k_per_host=4000, n_salt=32, n_buckets=64, m_bits=1 << 18)
-    guard = _load_guard()
+    guard = _load_guard(wait_sec=guard_wait)
     with tempfile.TemporaryDirectory() as d:
         io = TableIO(spark, f"{d}/warehouse")
         bootstrap(spark, _seed_df(spark, n_seeds), io, cfg)
@@ -129,17 +150,25 @@ def _bench_crawl_once(spark, n_seeds: int, n_cycles: int = 3) -> dict:
 
 
 def _bench_crawl(spark, n_seeds: int | None = None, n_cycles: int = 3,
-                 attempts: int = 2) -> dict:
-    """Best-of-N crawl throughput (N=2 by default): single-box rates vary
-    ±20% with ambient load; max-of-two plus the recorded load averages
-    keeps the artifact honest without hiding a real regression (a genuine
-    slowdown shows up in BOTH attempts)."""
+                 attempts: int = 2, max_attempts: int = 4) -> dict:
+    """Best-of-N crawl throughput: single-box rates vary ±20% with ambient
+    load; max-of-N plus the recorded per-attempt load averages keeps the
+    artifact honest without hiding a real regression (a genuine slowdown
+    shows up in EVERY attempt). VERDICT r04 item #3: if every baseline
+    attempt ran with the box still loaded, keep retrying (longer per-
+    attempt guard epochs, up to ``max_attempts`` total) until one leg runs
+    unloaded or the cap is hit — each attempt's load flag is recorded."""
     n_seeds = n_seeds or int(os.environ.get("CROAWL_BENCH_SEEDS", "300000"))
     runs = [_bench_crawl_once(spark, n_seeds, n_cycles) for _ in range(attempts)]
+    while all(r["loaded"] for r in runs) and len(runs) < max_attempts:
+        runs.append(
+            _bench_crawl_once(spark, n_seeds, n_cycles, guard_wait=300.0)
+        )
     best = max(runs, key=lambda r: r["urls_scheduled_parsed_per_sec"])
     out = dict(best)
-    if attempts > 1:
+    if len(runs) > 1:
         out["attempt_rates"] = [r["urls_scheduled_parsed_per_sec"] for r in runs]
+        out["attempt_loaded"] = [r["loaded"] for r in runs]
     return out
 
 
@@ -179,8 +208,7 @@ def main() -> None:
                 text=True,
                 timeout=1800,
             )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            out[f"local{n}"] = json.loads(line)
+            out[f"local{n}"] = json.loads(_last_json_line(r, f"local[{n}]"))
         r4 = out["local4"]["urls_scheduled_parsed_per_sec"]
         r16 = out["local16"]["urls_scheduled_parsed_per_sec"]
         out["scaling_efficiency_4_to_16"] = round((r16 / r4) / 4.0, 3)
@@ -200,8 +228,7 @@ def main() -> None:
                 env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
                 capture_output=True, text=True, timeout=1800,
             )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            out[f"local{n}"] = json.loads(line)
+            out[f"local{n}"] = json.loads(_last_json_line(r, f"local[{n}]"))
         t4 = out["local4"]["corpus_wall_sec"]
         t16 = out["local16"]["corpus_wall_sec"]
         out["scaling_efficiency_4_to_16"] = round((t4 / t16) / 4.0, 3)
@@ -263,6 +290,10 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * int(cpus))
+    # guard the query microbenches too, not just the crawl legs — the r04
+    # driver artifact's per-query times were inflated up to 3.5x by a box
+    # still draining other work (VERDICT r04 "What's wrong" #2)
+    query_guard = _load_guard()
     t0 = time.perf_counter()
     queries = _bench_queries(spark, sf_dir)
     crawl = _bench_crawl(spark)
@@ -276,6 +307,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "query_guard": query_guard,
                 "crawl": crawl,
             }
         )

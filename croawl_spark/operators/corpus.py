@@ -245,7 +245,9 @@ def ngram_contamination(
     )
 
 
-def unigram_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_nll(
+    docs: DataFrame, id_col: str, text_col: str, heavy_k: int = 1024
+) -> DataFrame:
     """Per-document unigram-LM negative log-likelihood (mean -ln p(w) with
     p estimated from the corpus itself) — the classic cheap quality /
     outlier signal: rare-token-heavy or garbled documents score high,
@@ -253,18 +255,30 @@ def unigram_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Scale shape: one token explode feeding a map-side-partial term-
     frequency aggregate; the corpus total rides a broadcast one-row cross
-    join (the bm25_score pattern) and the token->frequency join is a
-    plain equi-join on the term (vocab-sized right side — AQE broadcasts
-    it when it fits). Rounded to 4 decimals (cross-engine float-parity
-    margin for the order-dependent per-doc mean).
+    join (the bm25_score pattern). The token->frequency join is SPLIT on
+    heavy hitters (VERDICT r04 item #5): natural-language token streams
+    are Zipfian, so an equi-join keyed on the raw token sends a huge
+    fraction of all rows to the handful of partitions owning "the"/"of"/
+    etc. The ``heavy_k`` most frequent terms instead ride a BROADCAST
+    join (map-side, no exchange of their token rows at all); only the
+    long tail — whose per-term multiplicity is bounded by the k-th
+    frequency — reaches the shuffled equi-join. Identical output by
+    construction (same _tf whichever path a term takes). Rounded to 4
+    decimals (cross-engine float-parity margin for the order-dependent
+    per-doc mean).
 
     -> (id, nll), one row per document.
     """
     tok = docs.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("_t"))
     freq = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     stats = freq.agg(F.sum("_tf").alias("_tot"))
+    # deterministic top-K (ties broken on the term) -> tiny frame, broadcast
+    heavy = freq.orderBy(F.col("_tf").desc(), "_t").limit(heavy_k)
+    probed = tok.join(F.broadcast(heavy), "_t", "left")
+    hot = probed.filter(F.col("_tf").isNotNull())
+    tail = probed.filter(F.col("_tf").isNull()).drop("_tf").join(freq, "_t")
     return (
-        tok.join(freq, "_t")
+        hot.unionByName(tail)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
@@ -409,4 +423,170 @@ def chunk_documents(
         F.col("_s").cast("int").alias("start_tok"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def resample_sources(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Deterministic source-mixture rebalancing (the "domain mixing" step
+    of a training-data pipeline: given target mixture weights per source,
+    downsample every source so the output matches the target mixture
+    EXACTLY, without upsampling anything).
+
+    Quotas: T = min over weighted sources of n[s]/w[s] (the limiting
+    source is kept whole); quota[s] = floor(w[s] * T). Selection is
+    rank-by-hash: per source, the quota rows with the smallest
+    (md5(id), id) survive — content-independent, engine-portable (md5 is
+    bit-identical everywhere, the split_assign argument) and stable under
+    re-runs, re-platforms and cluster resizing.
+
+    Scale shape (no per-source global sort): a full per-source rank is a
+    skewed window at corpus scale (one source can own most of the data).
+    Instead:
+      1. keep-all shortcut: sources with quota == n skip selection
+         entirely (zero work for the limiting source);
+      2. threshold prefilter: u = first-60-bits-of-md5 / 2^60 is uniform;
+         rows with u <= quota/n + 6 sigma survive — a MAP-SIDE filter
+         against broadcast quotas that discards all but ~quota rows per
+         source before any exchange;
+      3. exact rank over the ~quota survivors per (source, salt) subgroup
+         then per source (the salted_topk two-phase shape) — partitions
+         are now quota-bounded, not corpus-bounded.
+      4. the prefilter is VERIFIED (per-source survivor count >= quota, a
+         bounded collect); a source that falls short — possible only in
+         adversarial hash distributions — reruns with the filter wide
+         open, so the output is always exactly the rank-defined set.
+
+    -> kept rows (id, source) — the exact rank-defined subset.
+    """
+    counts = {
+        r["_s"]: r["_n"]
+        for r in docs.groupBy(F.col(source_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }  # bounded: one row per source
+    t = min(
+        counts[s] / w for s, w in weights.items() if w > 0 and s in counts
+    )
+    quotas = {
+        s: int(w * t)
+        for s, w in weights.items()
+        if w > 0 and s in counts
+    }
+    spark = docs.sparkSession
+    md5 = F.md5(F.col(id_col).cast("string"))
+    u = (
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    keep_all = [s for s, q in quotas.items() if q >= counts[s]]
+    ranked_srcs = {s: q for s, q in quotas.items() if 0 < q < counts[s]}
+    out_all = docs.filter(F.col(source_col).isin(keep_all)) if keep_all else None
+
+    def _select(src_quotas: dict, open_filter: bool) -> DataFrame:
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (
+                        s,
+                        q,
+                        1.0
+                        if open_filter
+                        else min(
+                            1.0,
+                            q / counts[s]
+                            + 6.0 * (q / counts[s] / counts[s]) ** 0.5
+                            + 16.0 / counts[s],
+                        ),
+                    )
+                    for s, q in src_quotas.items()
+                ],
+                f"{source_col} string, _q long, _tau double",
+            )
+        )
+        cand = (
+            docs.join(qdf, source_col)  # broadcast: map-side
+            .withColumn("_u", u)
+            .filter(F.col("_u") <= F.col("_tau"))
+            .withColumn("_m", md5)
+        )
+        salt = F.pmod(F.conv(F.substring("_m", 29, 4), 16, 10).cast("long"), F.lit(n_salt))
+        w1 = Window.partitionBy(source_col, salt).orderBy("_m", id_col)
+        pruned = (
+            cand.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= F.col("_q"))
+            .drop("_r1")
+        )
+        w2 = Window.partitionBy(source_col).orderBy("_m", id_col)
+        return (
+            pruned.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= F.col("_q"))
+            .drop("_r2", "_u", "_m", "_q", "_tau")
+        )
+
+    if ranked_srcs:
+        sel = _select(ranked_srcs, open_filter=False).localCheckpoint()
+        got = {
+            r["_s"]: r["_n"]
+            for r in sel.groupBy(F.col(source_col).alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        short = {
+            s: q for s, q in ranked_srcs.items() if got.get(s, 0) < q
+        }
+        if short:  # adversarial-hash fallback: exact, rare by construction
+            sel = sel.filter(~F.col(source_col).isin(list(short))).unionByName(
+                _select(short, open_filter=True)
+            )
+        out_all = sel if out_all is None else out_all.unionByName(sel)
+    return out_all if out_all is not None else docs.limit(0)
+
+
+def corpus_report(
+    docs: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source corpus report card — the monitoring aggregate a
+    training-data pipeline publishes after every ingest/filter stage:
+    document count, token volume, mean document length, vocabulary size,
+    and the exact-duplicate rate within the source.
+
+    Scale shape: three narrow aggregates joined on the (tiny) source key —
+    (a) per-doc token counts fold map-side into per-source sums;
+    (b) vocabulary = distinct (source, token) then count per source;
+    (c) distinct texts counted via xxhash64(text) so the exchange carries
+        8-byte hashes, never the corpus body (collision odds birthday
+        2^64 — the exact_dedup caveat; the DuckDB oracle uses the text
+        itself, identical absent collisions).
+
+    -> (source, n_docs, n_tokens, mean_tokens 4dp, n_vocab,
+        n_distinct_texts, dup_frac 4dp).
+    """
+    toks = F.split(text_col, " ")
+    basic = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.round(F.avg(F.size(toks).cast("double")), 4).alias("mean_tokens"),
+        F.count_distinct(F.xxhash64(text_col)).alias("n_distinct_texts"),
+    )
+    vocab = (
+        docs.select(F.col(source_col).alias("source"), F.explode(toks).alias("_t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_vocab"))
+    )
+    return (
+        basic.join(vocab, "source")
+        .withColumn(
+            "dup_frac",
+            F.round(
+                1.0 - F.col("n_distinct_texts") / F.col("n_docs").cast("double"),
+                4,
+            ),
+        )
     )

@@ -116,6 +116,170 @@ def exact_dedup(
     return singles.unionByName(multi)
 
 
+def _shingle_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int, hash_shingles: bool
+) -> DataFrame:
+    """-> (id, pos, _g): one row per k-token shingle occurrence, pos the
+    1-based token position. Tokens are single-space splits (the corpus
+    module's shingling convention — ngram_contamination); with
+    ``hash_shingles`` the shuffle carries the 8-byte xxhash64 instead of
+    the k-token string. Pure JVM: sequence + transform + explode."""
+    w = F.split(text_col, " ")
+    occ = F.explode(
+        F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(w, i, k)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    ).alias("_s")
+    out = docs.select(F.col(id_col), occ).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.g").alias("_g")
+    )
+    if hash_shingles:
+        out = out.withColumn("_g", F.xxhash64("_g"))
+    return out
+
+
+def _merge_spans(occ: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged shingle positions into maximal
+    token spans: occurrences at positions p < q cover overlapping or
+    adjacent token ranges iff q - p <= k, so a new island starts when the
+    gap exceeds k. Two window passes over the same (id) partitioning —
+    one shuffle — then a hash aggregate per island.
+    -> (id, span_start, span_end, n_tokens), token positions inclusive."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        occ.withColumn("_prev", F.lag("pos").over(win))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k))
+            .cast("int"),
+        )
+        .withColumn("_isl", F.sum("_new").over(win))
+    )
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        (F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("n_tokens"),
+    ).drop("_isl")
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Substring/passage-level dedup, flagging form — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    https://arxiv.org/abs/2107.06499) exact-substring pass that runs
+    alongside doc-level LSH in a training-corpus pipeline, bounded to
+    k-token resolution so no suffix array is needed:
+
+      1. every k-token shingle occurrence -> (id, pos, hash)   [JVM explode]
+      2. shingles occurring >= 2 times globally (in any doc, including
+         twice within one doc) mark ALL their occurrences as duplicated
+         [8-byte hash aggregate with map-side partials + semi-join back;
+         AQE broadcasts the dup-key side when runtime-small]
+      3. per doc, flagged positions merge into maximal spans (overlap or
+         adjacency: gap <= k)                   [one window partitioning]
+
+    -> (id, span_start, span_end, n_tokens): inclusive 1-based token spans
+    of every duplicated passage (>= k tokens by construction). All copies
+    are flagged (detection form); ``remove_duplicate_passages`` is the
+    keep-first removal form. hash_shingles=False gives the exact-string
+    semantics of the DuckDB oracle (identical output absent 2^-64
+    collisions).
+
+    Scale shape: the only wide exchanges are the shingle-hash aggregate
+    (8-byte keys, partial-aggregated map-side) and the per-doc window
+    (keyed on doc id, carrying only flagged positions — the duplicated
+    fraction, not the token stream). The corpus body never shuffles.
+    """
+    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
+    dup_keys = (
+        occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_g")
+    )
+    flagged = occ.join(dup_keys, "_g", "left_semi")
+    return _merge_spans(flagged, id_col, k)
+
+
+def remove_duplicate_passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Keep-first removal form of :func:`duplicate_passages`: every
+    occurrence of a duplicated k-token shingle EXCEPT the globally first
+    one (minimal (id, pos) — deterministic at any parallelism) is
+    removed; the survivor text is the original tokens minus the covered
+    positions, single-space rejoined.
+
+    -> docs columns + ``clean_text`` + ``n_removed_tokens``. Documents
+    with nothing to remove pass through with clean_text == the
+    space-normalized original. The rebuild (collect flagged positions ->
+    array_except over the token position stream) stays JVM-side:
+    positions explode only for docs that HAVE removable spans.
+    """
+    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
+    firsts = occ.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    )
+    removable = (
+        occ.join(firsts.filter(F.col("_c") >= 2), "_g")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = _merge_spans(removable, id_col, k)
+    # positions covered by removable spans, one array per doc
+    covered = (
+        spans.select(
+            id_col, F.explode(F.sequence("span_start", "span_end")).alias("_p")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_p").alias("_drop"))
+    )
+    toks = F.split(text_col, " ")
+    keep = F.filter(
+        F.transform(
+            toks, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
+        ),
+        lambda s: ~F.array_contains(F.col("_drop"), s["p"]),
+    )
+    return (
+        docs.join(covered, id_col, "left")
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce(F.size("_drop"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "clean_text",
+            F.when(F.col("_drop").isNull(), F.concat_ws(" ", toks)).otherwise(
+                F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
+            ),
+        )
+        .drop("_drop")
+    )
+
+
 def mark_content_dups(
     docs: DataFrame,
     content_seen: DataFrame | None,
