@@ -170,7 +170,13 @@ def _apply_bucket_cap(
     extra sign bits still share the refined bucket; byte-identical
     vectors ALWAYS do. The join is a plain equi-join on (table, bucket) —
     the oversized set is O(N / cap) rows at worst, narrow, and AQE
-    broadcasts it when small."""
+    broadcasts it when small.
+
+    With n_extra == 0 there are no extra sign bits (``ex`` has no xbits
+    column) and no split is possible — identity, by contract (ADVICE r04:
+    referencing xbits unconditionally raised UNRESOLVED_COLUMN)."""
+    if n_extra == 0:
+        return ex
     # NB least/greatest IGNORE nulls in Spark — a bare least(_eb, n_extra)
     # would refine UNSPLIT buckets (null _eb from the left join) by the
     # full n_extra bits; the null case must short-circuit to 0 first
@@ -275,8 +281,12 @@ def embed_dedup_pairs(
     ex0 = _explode_tables(
         with_lsh_buckets(reps, "vec", dim, n_planes, n_tables, n_extra), "x"
     ).localCheckpoint()
-    ex = _apply_bucket_cap(
-        ex0, _oversized_buckets(ex0, bucket_cap), n_planes, n_extra
+    ex = (
+        ex0
+        if n_extra == 0  # no extra bits -> capping impossible, skip the agg
+        else _apply_bucket_cap(
+            ex0, _oversized_buckets(ex0, bucket_cap), n_planes, n_extra
+        )
     )
     a = ex.select(F.col("x_id").alias("rep_a"), "table", "bucket")
     b = ex.select(F.col("x_id").alias("rep_b"), "table", "bucket")
@@ -349,13 +359,24 @@ def build_embed_index(
     back over target once N doubles past the derivation point). ``xbits``
     stores each vector's extra sign bits so probe-time occupancy capping
     (incremental_embed_pairs) can re-split oversized buckets WITHOUT
-    re-reading any vector."""
+    re-reading any vector.
+
+    The build geometry (n_planes, n_tables, n_extra) is persisted as
+    constant ``_np``/``_nt``/``_nx`` columns (RLE-compressed to ~nothing
+    in parquet) and VALIDATED at probe time (ADVICE r04: a probe with
+    n_extra larger than the build's would mask high xbits as 0 on the
+    index side but real on the batch side, silently separating exact
+    duplicates into different refined buckets)."""
     base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return _explode_tables(
         with_lsh_buckets(base, "vec", dim, n_planes, n_tables, n_extra), "x"
-    ).select(F.col("x_id").alias("id"), "table", "bucket", *(
-        ["xbits"] if n_extra else []
-    ))
+    ).select(
+        F.col("x_id").alias("id"), "table", "bucket",
+        *(["xbits"] if n_extra else []),
+        F.lit(n_planes).alias("_np"),
+        F.lit(n_tables).alias("_nt"),
+        F.lit(n_extra).alias("_nx"),
+    )
 
 
 def incremental_embed_pairs(
@@ -395,6 +416,24 @@ def incremental_embed_pairs(
     base_new = new_vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    if "_np" in index.columns:  # geometry persisted by build_embed_index
+        meta = index.select("_np", "_nt", *(
+            ["_nx"] if "_nx" in index.columns else []
+        )).limit(1).collect()
+        if meta:
+            built = (meta[0]["_np"], meta[0]["_nt"])
+            if built != (n_planes, n_tables):
+                raise ValueError(
+                    f"index geometry mismatch: built with (n_planes, "
+                    f"n_tables)={built}, probe asked {(n_planes, n_tables)}"
+                )
+            if "_nx" in index.columns and n_extra > meta[0]["_nx"]:
+                raise ValueError(
+                    f"probe n_extra={n_extra} exceeds the index's stored "
+                    f"xbits width {meta[0]['_nx']}: capping would silently "
+                    "mis-split; probe with n_extra <= build n_extra"
+                )
+        index = index.drop("_np", "_nt", "_nx")
     can_cap = n_extra > 0 and "xbits" in index.columns
     nb = _explode_tables(
         with_lsh_buckets(
@@ -481,9 +520,15 @@ def ivf_train_centroids(
       rows before the shuffle, and the driver collects exactly k·dim
       (cell, pos, sum, count) rows per round to rebuild the centroid
       matrix (O(k·dim) driver data, never O(N)).
-    * determinism at any parallelism: fixed iteration count, fixed init,
-      and centroids rounded to 9 decimals each round so float summation
-      order across partitions can't leak into the assignment argmin.
+    * near-determinism at any parallelism: fixed iteration count, fixed
+      init, and centroids rounded to 9 decimals each round. NB the 9dp
+      rounding SHRINKS but cannot fully eliminate order-dependence:
+      F.sum over doubles is partition-order dependent, and a per-cell sum
+      landing exactly on a rounding boundary could still flip an argmin
+      (ADVICE r04). In practice sub-1e-9 wobble never moves an
+      assignment on non-degenerate data (pinned by the parallelism-
+      invariance test); bit-exactness would need order-independent
+      summation (sorted per-partition partials + Kahan).
     Empty cells keep their previous centroid."""
     rows = (
         vectors.orderBy(id_col).limit(sample).select(vec_col).collect()
@@ -630,19 +675,20 @@ def ann_lsh_topk(
     qs = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_planes is None:
         n_planes = derive_n_planes(cands.count())
+    # materialize the Arrow bucketize pass once: the occupancy aggregate
+    # AND the candidate join both read vb (ADVICE r04 — embed_dedup_pairs
+    # already localCheckpoints ex0 for exactly this reason)
     vb = _explode_tables(
         with_lsh_buckets(cands, "vec", dim, n_planes, n_tables, n_extra), "cand"
+    ).localCheckpoint()
+    if n_extra > 0:
+        split_map = _oversized_buckets(vb, bucket_cap).localCheckpoint()
+        vb = _apply_bucket_cap(vb, split_map, n_planes, n_extra)
+    qb = _explode_tables(
+        with_lsh_buckets(qs, "vec", dim, n_planes, n_tables, n_extra), "query"
     )
-    split_map = _oversized_buckets(vb, bucket_cap).localCheckpoint()
-    vb = _apply_bucket_cap(vb, split_map, n_planes, n_extra)
-    qb = _apply_bucket_cap(
-        _explode_tables(
-            with_lsh_buckets(qs, "vec", dim, n_planes, n_tables, n_extra), "query"
-        ),
-        split_map,
-        n_planes,
-        n_extra,
-    )
+    if n_extra > 0:
+        qb = _apply_bucket_cap(qb, split_map, n_planes, n_extra)
     pairs = (
         qb.join(vb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
