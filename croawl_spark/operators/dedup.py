@@ -214,6 +214,72 @@ def duplicate_passages(
     return _merge_spans(flagged, id_col, k)
 
 
+def build_shingle_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Persistable substring-dedup index: one (shingle-hash, occurrence
+    count) row per distinct k-token shingle — 16 bytes per distinct
+    shingle instead of the corpus body. Pairs with
+    :func:`incremental_duplicate_passages` the way build_exact_index
+    pairs with dedup_against_index.
+
+    Warehouse note (100-TB shape): persist this bucketed/sorted on the
+    hash (``bucketBy``/Iceberg ``bucket(N, _g)``) so the probe-time join
+    against a new batch's shingle counts co-partitions storage-side and
+    never reshuffles the index."""
+    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
+    return occ.groupBy("_g").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_shingle_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new batch's shingle counts (build_shingle_index output)
+    into the persisted index: count-sum per hash — a narrow 16-byte
+    aggregate, O(index + delta)."""
+    return (
+        index.unionByName(delta)
+        .groupBy("_g")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def incremental_duplicate_passages(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Substring/passage dedup for a NEW document batch against the
+    persisted shingle index — the old corpus is never re-shingled or
+    re-read: an occurrence in a new doc is duplicated iff its shingle's
+    total count (index + this batch) is >= 2, which is fully decidable
+    from the 16-byte index rows.
+
+    Equals duplicate_passages(old ∪ new) restricted to spans in new docs
+    (pinned by tests/test_training_ops.py::
+    test_incremental_duplicate_passages_matches_self) — the flagging
+    predicate "global occurrence count >= 2" decomposes exactly into
+    old-count + new-count. Update the index afterwards with
+    ``merge_shingle_index(index, build_shingle_index(new_docs, ...))``.
+
+    -> (id, span_start, span_end, n_tokens) over new docs only.
+    """
+    occ = _shingle_occurrences(new_docs, id_col, text_col, k, hash_shingles)
+    newcnt = occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_nc"))
+    dup_keys = (
+        newcnt.join(index.select("_g", F.col("cnt").alias("_oc")), "_g", "left")
+        .filter(F.coalesce(F.col("_oc"), F.lit(0)) + F.col("_nc") >= 2)
+        .select("_g")
+    )
+    flagged = occ.join(dup_keys, "_g", "left_semi")
+    return _merge_spans(flagged, id_col, k)
+
+
 def remove_duplicate_passages(
     docs: DataFrame,
     id_col: str,

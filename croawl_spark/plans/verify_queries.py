@@ -1357,6 +1357,68 @@ def q_dedup_cluster_star(spark, sf):
     )
 
 
+def q_stream_neardup_ingest(spark, sf):
+    """Streaming NEAR-dup corpus ingest (ST7, streaming/jobs.py): two
+    micro-batches; batch 2 carries an exact copy and a lightly-edited
+    near-copy of batch-1 docs — both dropped by the persisted MinHash
+    band-key index. Rows-only (order-dependent streaming semantics by
+    nature); determinism + planted-dup + resume pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+
+    from croawl_spark.streaming.jobs import stream_neardup_ingest
+
+    d = "/tmp/croawl_stream_neardup"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(f"{d}/docs")
+    docs = _t(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") < 150)
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
+        docs.filter(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        ).select(*docs.columns)
+    )
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+        part = glob.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+        os.rename(part, f"{d}/docs/b{i}.parquet")
+    io = stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh", threshold=0.7)
+    return io.read_log("corpus").select("doc_id", "lang", "source")
+
+
+def q_dedup_substring_inc(spark, sf):
+    """Incremental substring dedup (operators/dedup.py): a new batch
+    (docs >= 300, plus doc 7 re-keyed as 80007 — a planted dup of an OLD
+    doc) probed against the persisted 16-byte shingle index of the old
+    corpus; old docs are never re-shingled. Oracle = whole-corpus span
+    derivation over the union, restricted to new doc ids (the flagging
+    predicate decomposes exactly into old-count + new-count)."""
+    from croawl_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_duplicate_passages,
+    )
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") < 300)
+    new = d.filter(F.col("doc_id") >= 300).unionByName(
+        d.filter(F.col("doc_id") == 7).select(
+            (F.col("doc_id") + 80000).alias("doc_id"),
+            *[c for c in d.columns if c != "doc_id"],
+        ).select(*d.columns)
+    )
+    idx = build_shingle_index(old, "doc_id", "text", k=8)
+    out = incremental_duplicate_passages(new, idx, "doc_id", "text", k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_domain_mix(spark, sf):
     """Deterministic source-mixture rebalancing (operators/corpus.py
     resample_sources): target weights en/zh/es = 0.5/0.25/0.25, quotas
@@ -1412,6 +1474,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_star": q_dedup_cluster_star,
     "domain_mix": q_domain_mix,
     "corpus_report": q_corpus_report,
+    "dedup_substring_inc": q_dedup_substring_inc,
+    "stream_neardup_ingest": q_stream_neardup_ingest,
     # -- scale-hardened this round: needs a fresh rows-run row --
     "stream_corpus_ingest": q_stream_corpus_ingest,
     # -- rotated out in r04 (stalest evidence: last sampled <= r03) --
@@ -2163,4 +2227,24 @@ ORACLE["corpus_report"] = (
     "n_distinct_texts, round(CAST(1.0 AS DOUBLE) - "
     "n_distinct_texts / CAST(n_docs AS DOUBLE), 4) AS dup_frac "
     "FROM basic JOIN vocab USING (source)"
+)
+
+ORACLE["dedup_substring_inc"] = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 80000, text FROM documents WHERE doc_id = 7), "
+    "sh AS (SELECT doc_id, unnest(range(1, len(w)-6)) AS pos, w "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) "
+    "WHERE len(w) >= 8), "
+    "occ AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g "
+    "FROM sh), "
+    "dup AS (SELECT doc_id, pos FROM occ WHERE g IN "
+    "(SELECT g FROM occ GROUP BY g HAVING count(*) >= 2)), "
+    "isl AS (SELECT doc_id, pos, "
+    "sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY doc_id ORDER BY pos) AS island "
+    "FROM (SELECT doc_id, pos, lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)) "
+    "SELECT doc_id, min(pos) AS span_start, max(pos)+7 AS span_end, "
+    "max(pos)+7-min(pos)+1 AS n_tokens "
+    "FROM isl WHERE doc_id >= 300 GROUP BY doc_id, island"
 )

@@ -1,4 +1,4 @@
-"""Structured Streaming operators (SURVEY.md §2.9 ST1-ST5, + ST6 r04).
+"""Structured Streaming operators (SURVEY.md §2.9 ST1-ST5, + ST6 r04, ST7 r05).
 
 ST1  stream_crawl         — micro-batch crawl loop: each trigger runs one
                             scheduler cycle via foreachBatch; Spark's
@@ -14,6 +14,9 @@ ST6  corpus ingest        — streaming training-corpus ingest: per-batch
                             quality screens + cross-batch content dedup
                             into an append-only corpus log (resumable via
                             offset checkpoint + cycle manifest).
+ST7  near-dup ingest      — ST6 upgraded to MinHash-LSH near-dup across
+                            batches via a bucketed persisted band-key
+                            index (r05).
 """
 
 from __future__ import annotations
@@ -407,6 +410,175 @@ def stream_corpus_ingest(
             io.compact_log(
                 live, "content_seen", cycle + 1, partition_by=["bucket"]
             )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", f"{base_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return io
+
+
+# ---------------------------------------------------------------------------
+# ST7 (training side) — streaming NEAR-dup corpus ingest (MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    base_dir: str,
+    resume: bool = False,
+    threshold: float = 0.9,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+    n_buckets: int = 64,
+    compact_every: int = 8,
+) -> "TableIO":
+    """Streaming corpus ingest with NEAR-duplicate (MinHash-LSH) dedup
+    across batches — ST6's exact-content pipeline upgraded to the fuzzy
+    dedup every real training-data pipeline runs: lightly-edited copies
+    of earlier documents (boilerplate re-wraps, timestamps, typo-level
+    edits) are dropped, not just byte-identical ones. Exact duplicates
+    are a special case (identical text -> identical signature ->
+    est_sim = 1 >= any threshold).
+
+    Per micro-batch (foreachBatch):
+      1. Gopher repetition screens (batch-local), as in ST6.
+      2. within-batch near-dup resolution: banded LSH pairs over the
+         batch's signatures -> connected components -> min-id survivor
+         per cluster (deterministic at any parallelism).
+      3. cross-batch: the survivors' band keys join the persisted
+         ``minhash_sig`` index log, restricted via the log's
+         ``bucket = pmod(xxhash64(band, key), n_buckets)`` Hive
+         partitioning to the buckets this batch's keys hash into
+         (directory pruning; for small batches that is a small fraction
+         of the index). Candidates are confirmed on the full signature
+         (est_sim >= threshold) — a new doc near an already-ingested doc
+         is dropped.
+      4. survivors append to ``corpus``; their (id, sig, band keys) rows
+         append to the bucketed ``minhash_sig`` log; per-batch metrics
+         commit in the same atomic cycle; the log compacts every
+         ``compact_every`` batches.
+
+    Warehouse note (100-TB shape): at production scale the sig log is an
+    Iceberg table ``PARTITIONED BY (bucket(N, key_hash))`` and clustered
+    on (band, key), so the candidate join co-partitions storage-side and
+    the index is never reshuffled (same mapping as the crawl seen table,
+    sources/tableio.IcebergTableIO); the parquet emulation here gives the
+    directory-pruning half of that.
+
+    Ordering note: streaming near-dedup is ORDER-DEPENDENT by nature
+    (the first-arriving member of a near-dup cluster survives), so the
+    pinned equivalence is determinism (same batch sequence -> byte-equal
+    corpus) + planted-dup semantics, not equality with a whole-corpus
+    batch dedup — tests/test_streaming.py::test_stream_neardup_ingest*.
+    """
+    from croawl_spark.operators.cluster import keep_one_per_cluster
+    from croawl_spark.operators.corpus import repetition_filter
+    from croawl_spark.operators.minhash import (
+        _est_sim,
+        band_keys,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from croawl_spark.sources.tableio import TableIO
+
+    io = TableIO(spark, base_dir)
+    if not resume:
+        io.destroy()
+        io = TableIO(spark, base_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        cycle = io.last_committed_cycle() + 1
+        kept = batch_df.join(
+            repetition_filter(batch_df, "doc_id", "text")
+            .filter("keep")
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        sig = minhash_signature(kept, "doc_id", "text", n_perm, k).localCheckpoint()
+        self_pairs = lsh_candidate_pairs(sig, "doc_id", n_perm, n_bands).filter(
+            F.col("est_sim") >= threshold
+        )
+        surv = keep_one_per_cluster(
+            kept.select("doc_id"), self_pairs, "doc_id"
+        )
+        surv_sig = sig.join(surv, "doc_id", "left_semi").localCheckpoint()
+        n_batch, n_surv = kept.count(), surv_sig.count()
+        nb = band_keys(surv_sig, "doc_id", n_perm, n_bands).withColumn(
+            "bucket", F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).cast("int")
+        ).localCheckpoint()
+        n_idx_read, dropped = 0, None
+        try:
+            idx = io.read_log("minhash_sig")
+        except FileNotFoundError:
+            idx = None
+        if idx is not None:
+            hit = [r[0] for r in nb.select("bucket").distinct().collect()]
+            idx_pruned = idx.filter(F.col("bucket").isin(hit))
+            n_idx_read = idx_pruned.count()
+            cand = (
+                nb.join(
+                    idx_pruned.select(
+                        F.col("doc_id").alias("_oid"), "band", "key"
+                    ),
+                    ["band", "key"],
+                )
+                .select(F.col("doc_id"), "_oid")
+                .dropDuplicates(["doc_id", "_oid"])
+            )
+            osig = idx.select(F.col("doc_id").alias("_oid"), F.col("sig").alias("sig_b")).dropDuplicates(["_oid"])
+            confirmed = (
+                cand.join(surv_sig.select("doc_id", F.col("sig").alias("sig_a")), "doc_id")
+                .join(osig, "_oid")
+                .filter(_est_sim(n_perm) >= threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            dropped = confirmed
+        if dropped is not None:
+            novel_ids = surv.join(dropped, "doc_id", "left_anti")
+        else:
+            novel_ids = surv
+        novel = kept.join(novel_ids, "doc_id", "left_semi").localCheckpoint()
+        n_novel = novel.count()
+        tables = ["ingest_metrics"]
+        if n_novel:
+            io.write_snapshot(novel, "corpus", cycle)
+            sig_rows = (
+                nb.join(novel_ids, "doc_id", "left_semi")
+                .join(surv_sig.select("doc_id", "sig"), "doc_id")
+                .select("doc_id", "band", "key", "sig", "bucket")
+            )
+            io.write_snapshot(
+                sig_rows, "minhash_sig", cycle, partition_by=["bucket"]
+            )
+            tables = ["corpus", "minhash_sig", "ingest_metrics"]
+        metrics = spark.createDataFrame(
+            [(
+                cycle, n_batch, n_surv, n_novel, n_idx_read,
+                round(_time.perf_counter() - t0, 3),
+            )],
+            "cycle long, n_batch long, n_surv long, n_novel long, "
+            "n_idx_rows_read long, wall_sec double",
+        )
+        io.write_snapshot(metrics, "ingest_metrics", cycle)
+        io.commit_cycle(cycle, tables)
+        segs = io.read_manifest()["tables"].get("minhash_sig", [])
+        if compact_every and len(segs) >= compact_every:
+            live = io.read_log("minhash_sig")
+            io.compact_log(live, "minhash_sig", cycle + 1, partition_by=["bucket"])
 
     q = (
         spark.readStream.schema(schema)

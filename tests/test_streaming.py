@@ -330,3 +330,97 @@ def test_stream_corpus_ingest_all_duplicate_batch(spark):
         got = {r["doc_id"] for r in io.read_log("corpus").collect()}
         assert not any(70000 <= i < 80000 for i in got)
         assert io.read_log("content_seen").count() == len(got)
+
+
+def test_stream_neardup_ingest_drops_planted_neardups(spark):
+    """ST7: streaming MinHash ingest drops (a) an exact copy and (b) a
+    lightly-edited near-copy of docs ingested in EARLIER batches, and
+    (c) resolves within-batch near-dup clusters to one survivor; novel
+    docs pass through. Deterministic: a re-run produces the byte-same
+    corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") < 150)
+    exact = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 95000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    near = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 96000).alias("doc_id"),
+        *[
+            F.concat(F.col(c), F.lit(" extra")).alias(c) if c == "text" else F.col(c)
+            for c in docs.columns
+            if c != "doc_id"
+        ],
+    ).select(*docs.columns)
+    # within-batch near-dup pair: two fresh copies of doc 160's text
+    twin1 = docs.filter(F.col("doc_id") == 160).select(
+        (F.col("doc_id") + 97000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    b1 = (
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+        .unionByName(exact).unionByName(near).unionByName(twin1)
+    )
+    import glob as _g
+    import os as _os
+
+    def run(dst):
+        _os.makedirs(f"{dst}/docs")
+        for i, b in enumerate((b0, b1)):
+            b.coalesce(1).write.parquet(f"{dst}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{dst}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{dst}/docs/b{i}.parquet")
+        return SJ.stream_neardup_ingest(
+            spark, f"{dst}/docs", f"{dst}/wh", threshold=0.7
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        io = run(d)
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        # doc 3 and 5 pass the quality screen (see read_volume test);
+        # their copies arrived in batch 1 and must be gone
+        assert 95003 not in got and 96005 not in got
+        assert 3 in got and 5 in got
+        # within-batch twin: 160 survives (min id), 97160 dropped —
+        # given doc 160 passes the quality screen
+        if 160 in got:
+            assert 97160 not in got
+        # novel batch-1 docs survived (quality-screen survivors)
+        assert any(150 <= i < 250 for i in got)
+        m = sorted(io.read_log("ingest_metrics").collect(), key=lambda r: r["cycle"])
+        assert len(m) == 2 and m[1]["n_idx_rows_read"] > 0
+        with tempfile.TemporaryDirectory() as d2:
+            io2 = run(d2)
+            got2 = {r["doc_id"] for r in io2.read_log("corpus").collect()}
+            assert got2 == got  # deterministic re-run
+
+
+def test_stream_neardup_ingest_resume(spark):
+    """ST7 resumability: restart after a new batch file appears — offset
+    checkpoint skips processed files; exactly one new cycle commits."""
+    import glob as _g
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    parts = [
+        docs.filter(F.col("doc_id") < 100),
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+
+        def drop_file(i):
+            parts[i].coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+
+        drop_file(0)
+        io = SJ.stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh")
+        n0 = io.read_log("corpus").count()
+        c0 = io.last_committed_cycle()
+        drop_file(1)
+        io = SJ.stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh", resume=True)
+        assert io.last_committed_cycle() == c0 + 1
+        c = io.read_log("corpus")
+        assert c.count() > n0
+        assert c.select("doc_id").distinct().count() == c.count()

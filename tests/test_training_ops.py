@@ -1313,3 +1313,53 @@ def test_corpus_report_counts(spark):
     assert a["n_distinct_texts"] == 2 and a["dup_frac"] == round(1 - 2 / 3, 4)
     b = got["b"]
     assert (b["n_docs"], b["n_vocab"], b["dup_frac"]) == (1, 3, 0.0)
+
+
+def test_incremental_duplicate_passages_matches_self(spark):
+    """Incremental substring dedup vs the persisted shingle index must
+    equal whole-corpus duplicate_passages(old ∪ new) restricted to new
+    docs — including a passage duplicated only BETWEEN two new docs, one
+    only between new and old, and within-old dups (which must NOT leak
+    into the output)."""
+    from croawl_spark.operators.dedup import (
+        build_shingle_index,
+        duplicate_passages,
+        incremental_duplicate_passages,
+        merge_shingle_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 300)
+    cross = docs.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 80000).alias("doc_id"), "text"
+    )  # dup of an OLD doc
+    twin_src = docs.filter(F.col("doc_id") == 310)
+    twin = twin_src.select((F.col("doc_id") + 81000).alias("doc_id"), "text")
+    new = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+        .unionByName(cross)
+        .unionByName(twin)  # dup WITHIN the new batch (310 vs 81310)
+    )
+    idx = build_shingle_index(old, "doc_id", "text", k=8)
+    got = sorted(
+        tuple(r)
+        for r in incremental_duplicate_passages(
+            new, idx, "doc_id", "text", k=8
+        ).collect()
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = sorted(
+        tuple(r)
+        for r in duplicate_passages(
+            old.unionByName(new), "doc_id", "text", k=8
+        ).filter(F.col("doc_id").isin(list(new_ids))).collect()
+    )
+    assert got == want and len(got) > 0
+    assert any(r[0] == 80007 for r in got)   # new-vs-old dup found
+    assert any(r[0] == 81310 for r in got)   # new-vs-new dup found
+    # index update: merged index == index built over old ∪ new
+    merged = merge_shingle_index(
+        idx, build_shingle_index(new, "doc_id", "text", k=8)
+    )
+    full = build_shingle_index(old.unionByName(new), "doc_id", "text", k=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
