@@ -70,7 +70,10 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         # added in round 5:
         "dedup_substring",   # shingle-hash agg + per-doc span merge
         "dedup_substring_rm",# keep-first removal + JVM text rebuild
+        "dedup_substring_inc",  # new batch vs persisted shingle index
         "dedup_cluster_star",# large/small-star CC (megachain path)
+        "domain_mix",        # quota selection behind threshold prefilter
+        "corpus_report",     # per-source report-card aggregates
     ]
     QUERIES["scan_parquet"](spark, sf_dir).count()  # JVM+python-worker warmup
     times: dict[str, float] = {}

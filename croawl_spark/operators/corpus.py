@@ -590,3 +590,46 @@ def corpus_report(
             ),
         )
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    id_col: str,
+    docs_per_shard: int,
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export (the
+    webdataset/tfrecord-style sharding step: fixed-size shards, stable
+    membership so a re-export or a resumed download sees identical
+    files). shard_id = global_rank(id) // docs_per_shard over the id
+    total order — a pure function of the data, identical at any
+    parallelism (ranking.global_sequence: range-partitioned parallel
+    sort + O(#partitions) offsets, no single-partition window).
+
+    -> (id, seq, shard_id). Feed to :func:`export_shards` to write.
+    """
+    seq = global_sequence(docs.select(F.col(id_col)), [id_col], "seq")
+    return seq.withColumn(
+        "shard_id", F.floor(F.col("seq") / F.lit(docs_per_shard)).cast("long")
+    )
+
+
+def export_shards(
+    docs: DataFrame,
+    id_col: str,
+    out_dir: str,
+    docs_per_shard: int,
+) -> int:
+    """Write the corpus as Hive-partitioned parquet shards
+    (``shard_id=K/``) of exactly ``docs_per_shard`` docs (last shard
+    ragged), membership fixed by :func:`shard_assign`. Returns the shard
+    count. One file per shard directory (repartition on shard_id before
+    write) — downstream trainers stream shards independently."""
+    assigned = docs.join(shard_assign(docs, id_col, docs_per_shard), id_col)
+    (
+        assigned.repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    n = assigned.agg(F.max("shard_id")).collect()[0][0]
+    return int(n) + 1 if n is not None else 0

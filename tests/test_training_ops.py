@@ -1363,3 +1363,37 @@ def test_incremental_duplicate_passages_matches_self(spark):
     )
     full = build_shingle_index(old.unionByName(new), "doc_id", "text", k=8)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_export_shards_fixed_size_and_stable(spark):
+    """Shard export: every shard holds exactly docs_per_shard docs (last
+    ragged), membership is identical across re-exports and parallelism
+    levels, and the on-disk layout is one Hive partition per shard."""
+    import glob
+    import tempfile
+
+    from croawl_spark.operators.corpus import export_shards, shard_assign
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a1 = shard_assign(docs, "doc_id", 64)
+    sizes = {r["shard_id"]: r["n"] for r in
+             a1.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_docs = docs.count()
+    full, last = divmod(n_docs, 64)
+    assert all(sizes[s] == 64 for s in range(full))
+    if last:
+        assert sizes[full] == last
+    # parallelism-invariant membership
+    m1 = sorted((r["doc_id"], r["shard_id"]) for r in a1.collect())
+    m2 = sorted(
+        (r["doc_id"], r["shard_id"])
+        for r in shard_assign(docs.repartition(17), "doc_id", 64).collect()
+    )
+    assert m1 == m2
+    with tempfile.TemporaryDirectory() as d:
+        n_shards = export_shards(docs, "doc_id", f"{d}/out", 64)
+        assert n_shards == full + (1 if last else 0)
+        dirs = glob.glob(f"{d}/out/shard_id=*")
+        assert len(dirs) == n_shards
+        back = spark.read.parquet(f"{d}/out")
+        assert back.count() == n_docs
