@@ -633,3 +633,93 @@ def export_shards(
     )
     n = assigned.agg(F.max("shard_id")).collect()[0][0]
     return int(n) + 1 if n is not None else 0
+
+
+def ngram_novelty(
+    candidates: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of a
+    candidate's DISTINCT n-token shingles not present anywhere in the
+    reference — the inverse of the contamination screen, used to score
+    how much genuinely new content an ingest batch adds (dedup
+    diagnostics, crawl-frontier prioritization by novelty).
+
+    Same scale shape as ngram_contamination: shingles collapse to
+    xxhash64 before the distinct and the join (8-byte shuffle rows); the
+    reference side is distinct-compressed. Ratio computed on unrounded
+    counts, reported at 4dp (exact cross-engine: one division).
+
+    -> (id, n_shingles, n_novel, novelty) — docs shorter than n tokens
+    get n_shingles = 0 and novelty = NULL (no signal, distinguishable
+    from "all shingles known" = 0.0).
+    """
+
+    def sh(df: DataFrame) -> DataFrame:
+        w = F.split(text_col, " ")
+        gram = F.explode(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram")
+        out = df.select(F.col(id_col), gram)
+        if hash_shingles:
+            out = out.select(F.col(id_col), F.xxhash64("_gram").alias("_gram"))
+        return out.dropDuplicates([id_col, "_gram"])
+
+    ref = sh(reference).select("_gram").distinct()
+    cand = sh(candidates)
+    novel = (
+        cand.join(ref, "_gram", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        candidates.select(id_col)
+        .join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_novel") / F.col("n_shingles"), 4),
+            ),
+        )
+    )
+
+
+def token_length_histogram(
+    docs: DataFrame, text_col: str, bin_width: int = 32
+) -> DataFrame:
+    """Document-length histogram in token bins — the packing/chunking
+    diagnostic a pipeline publishes to size context windows and spot
+    truncation cliffs. One map-side-partial aggregate over a JVM size()
+    expression; no explode, no shuffle of the token stream.
+
+    -> (bin_start, bin_end, n_docs), bins of ``bin_width`` tokens.
+    """
+    ntok = F.size(F.split(text_col, " "))
+    b = F.floor(ntok / F.lit(bin_width)).cast("long")
+    return (
+        docs.groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            (F.col("_b") * bin_width).alias("bin_start"),
+            (F.col("_b") * bin_width + bin_width - 1).alias("bin_end"),
+            "n_docs",
+        )
+    )

