@@ -37,15 +37,20 @@ import time
 
 
 def main() -> int:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    neardup = "--neardup" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_batches = int(args[0]) if len(args) > 0 else 100
+    per_batch = int(args[1]) if len(args) > 1 else 50
 
     sys.path.insert(0, ".")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from croawl_spark.session import get_spark
-    from croawl_spark.streaming.jobs import stream_corpus_ingest
+    from croawl_spark.streaming.jobs import (
+        stream_corpus_ingest,
+        stream_neardup_ingest,
+    )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark(
@@ -103,7 +108,13 @@ def main() -> int:
     prep_sec = round(time.perf_counter() - t_prep, 1)
 
     t0 = time.perf_counter()
-    io = stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+    if neardup:
+        # ST7 variant: MinHash near-dup across batches vs the bucketed
+        # persisted band-key index (planted dups are byte-identical,
+        # so they are est_sim=1 cases for the LSH path too)
+        io = stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh")
+    else:
+        io = stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
     stream_wall = round(time.perf_counter() - t0, 1)
 
     rows = sorted(
@@ -117,6 +128,30 @@ def main() -> int:
     a = [r["wall_sec"] for r in rows[2:half]]
     b_ = [r["wall_sec"] for r in rows[half:]]
     ma, mb = sum(a) / len(a), sum(b_) / len(b_)
+    if neardup:
+        live = io.read_log("minhash_sig").select("doc_id").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "summary": f"ST7 neardup: {len(rows)} micro-batches x "
+                    f"~{per_batch} docs, 3 cross-history dups/batch, "
+                    "compact_every=8",
+                    "prep_sec": prep_sec,
+                    "stream_wall_sec": stream_wall,
+                    "mean_wall_first_half": round(ma, 3),
+                    "mean_wall_second_half": round(mb, 3),
+                    "flatness_ratio": round(mb / ma, 3),
+                    "max_idx_rows_read": max(
+                        (r["n_idx_rows_read"] for r in rows), default=0
+                    ),
+                    "live_index_docs_final": live,
+                    "total_novel": sum(r["n_novel"] for r in rows),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        return 0
     scanned = [r for r in rows if r["seen_scanned"]]
     live = io.read_log("content_seen").count()
     print(
