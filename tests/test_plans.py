@@ -241,3 +241,62 @@ def test_corpus_filter_ops_plan_shapes(spark):
 
     p = ep(QUERIES["rep_filter"](spark, SF))
     assert "partial" in p and "CartesianProduct" not in p
+
+
+def test_bucketed_index_join_never_shuffles_the_index(spark, tmp_path):
+    """Pins the production claim made by the streaming near-dup ingest
+    and the shingle index (streaming/jobs.py ST7, operators/dedup.py
+    build_shingle_index): a persisted index stored BUCKETED on its join
+    key is never reshuffled at probe time —
+      * small probe: AQE broadcasts the probe; the index scans in place
+        with ZERO exchanges anywhere;
+      * large probe (broadcast disabled): sort-merge join whose ONLY
+        exchange is on the probe side; the index FileScan reports
+        Bucketed: true.
+    (The parquet+manifest TableIO emulation gives directory pruning; a
+    real warehouse adds this bucketed layout — Iceberg bucket(N, key).)
+    """
+    from pyspark.sql import functions as F
+
+    idx = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(7)).alias("band"),
+        F.xxhash64("id").alias("key"),
+    )
+    tbl = "bucketed_sig_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        idx.write.bucketBy(8, "band", "key").sortBy("band", "key")
+        .option("path", str(tmp_path / "idx"))
+        .mode("overwrite").saveAsTable(tbl)
+    )
+    try:
+        t = spark.table(tbl)
+        small = spark.range(50).select(
+            (F.col("id") + 90000).alias("nid"),
+            F.pmod(F.col("id"), F.lit(7)).alias("band"),
+            F.xxhash64(F.col("id") % 200).alias("key"),
+        )
+        j1 = small.join(t, ["band", "key"])
+        j1.count()
+        p1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p1
+        assert "Exchange hashpartitioning" not in p1  # index never moved
+        big = spark.range(5000).select(
+            (F.col("id") + 90000).alias("nid"),
+            F.pmod(F.col("id"), F.lit(7)).alias("band"),
+            F.xxhash64(F.col("id") % 200).alias("key"),
+        )
+        j2 = big.join(
+            t.hint("merge"), ["band", "key"]
+        )
+        j2.count()
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p2
+        # exactly one shuffle, and it is NOT above the bucketed scan:
+        # the index-side subtree (FileScan..sig_idx) has no Exchange parent
+        assert p2.count("Exchange hashpartitioning") == 1
+        probe_side = p2[: p2.index("FileScan")]
+        assert "Exchange hashpartitioning" in probe_side  # probe side only
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
