@@ -427,11 +427,23 @@ def incremental_embed_pairs(
                     f"index geometry mismatch: built with (n_planes, "
                     f"n_tables)={built}, probe asked {(n_planes, n_tables)}"
                 )
-            if "_nx" in index.columns and n_extra > meta[0]["_nx"]:
+            if (
+                "_nx" in index.columns
+                and n_extra != 0
+                and n_extra != meta[0]["_nx"]
+            ):
+                # NOT merely an upper bound: the extra-bit hyperplanes for
+                # n_extra=k are NOT a prefix of those for n_extra>k (the
+                # fixed-seed matrix is drawn with shape (planes, dim), so
+                # changing the row count changes every row) — ANY mismatch
+                # means index-side and batch-side xbits come from different
+                # planes, and capping would silently separate exact
+                # duplicates. Probe with the build's n_extra, or 0 to
+                # disable capping (primary buckets only, superset recall).
                 raise ValueError(
-                    f"probe n_extra={n_extra} exceeds the index's stored "
-                    f"xbits width {meta[0]['_nx']}: capping would silently "
-                    "mis-split; probe with n_extra <= build n_extra"
+                    f"probe n_extra={n_extra} != index build n_extra="
+                    f"{meta[0]['_nx']}: extra-bit planes differ entirely, "
+                    "capping would mis-split; use the build value or 0"
                 )
         index = index.drop("_np", "_nt", "_nx")
     can_cap = n_extra > 0 and "xbits" in index.columns

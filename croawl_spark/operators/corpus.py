@@ -470,9 +470,14 @@ def resample_sources(
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     }  # bounded: one row per source
-    t = min(
-        counts[s] / w for s, w in weights.items() if w > 0 and s in counts
-    )
+    present = {s: w for s, w in weights.items() if w > 0 and s in counts}
+    if not present:
+        raise ValueError(
+            f"no weighted source present in the data: weights name "
+            f"{sorted(s for s, w in weights.items() if w > 0)}, data has "
+            f"{sorted(counts)}"
+        )
+    t = min(counts[s] / w for s, w in present.items())
     quotas = {
         s: int(w * t)
         for s, w in weights.items()
@@ -631,8 +636,11 @@ def export_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
-    n = assigned.agg(F.max("shard_id")).collect()[0][0]
-    return int(n) + 1 if n is not None else 0
+    # shard ids are dense by construction (global rank // size), so the
+    # count is ceil(n_docs / docs_per_shard) — a cheap narrow count, NOT a
+    # second evaluation of the range-partitioned sort + join above
+    n_docs = docs.count()
+    return -(-n_docs // docs_per_shard) if n_docs else 0
 
 
 def ngram_novelty(

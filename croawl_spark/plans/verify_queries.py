@@ -1359,10 +1359,12 @@ def q_dedup_cluster_star(spark, sf):
 
 def q_stream_neardup_ingest(spark, sf):
     """Streaming NEAR-dup corpus ingest (ST7, streaming/jobs.py): two
-    micro-batches; batch 2 carries an exact copy and a lightly-edited
-    near-copy of batch-1 docs — both dropped by the persisted MinHash
-    band-key index. Rows-only (order-dependent streaming semantics by
-    nature); determinism + planted-dup + resume pinned in
+    micro-batches; batch 2 carries an exact copy (doc 3 re-keyed) AND a
+    lightly-edited near-copy (doc 5's text + ' extra', est_sim < 1) of
+    batch-1 docs — both dropped by the persisted MinHash band-key index,
+    so the driver row exercises the fuzzy path, not just est_sim=1.
+    Rows-only (order-dependent streaming semantics by nature);
+    determinism + planted-dup + resume pinned in
     tests/test_streaming.py."""
     import glob
     import os
@@ -1375,11 +1377,22 @@ def q_stream_neardup_ingest(spark, sf):
     os.makedirs(f"{d}/docs")
     docs = _t(spark, sf, "documents")
     b1 = docs.filter(F.col("doc_id") < 150)
-    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
-        docs.filter(F.col("doc_id") == 3).select(
-            (F.col("doc_id") + 90000).alias("doc_id"),
-            *[c for c in docs.columns if c != "doc_id"],
-        ).select(*docs.columns)
+    exact = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).select(*docs.columns)
+    near = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 91000).alias("doc_id"),
+        *[
+            F.concat(F.col(c), F.lit(" extra")).alias(c) if c == "text" else F.col(c)
+            for c in docs.columns
+            if c != "doc_id"
+        ],
+    ).select(*docs.columns)
+    b2 = (
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+        .unionByName(exact)
+        .unionByName(near)
     )
     for i, b in enumerate((b1, b2)):
         b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
@@ -1511,7 +1524,9 @@ def q_corpus_report(spark, sf):
 #   * positions 12-40: the 29 keys rotated OUT in round 4 (stalest driver
 #     evidence: last sampled r03 or earlier).
 #   * positions 41-49: refresh slice of the keys first sampled in r03 and
-#     re-verified in r04.
+#     re-verified in r04 (the 9 that fit; the slice's 8 overflow keys sit
+#     just past the cut, each with 2 driver artifacts + full-battery
+#     green this round).
 #   * positions 50+: keys sampled in the r04 window itself (freshest
 #     evidence: CORRECTNESS_r04 green) — rotated out this round.
 # Every key remains runnable regardless of position; rotation changes only
@@ -1573,6 +1588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "dedup_cluster": q_dedup_cluster,
     "dedup_incremental": q_dedup_incremental,
+    # -------- position 50+: outside the driver's sampling window --------
+    # refresh-slice overflow (2 driver artifacts each, full-battery green):
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_embed": q_dedup_embed,
     "lang_id_full": q_lang_id_full,
@@ -1581,7 +1598,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_percentile": q_agg_percentile,
     "agg_cube": q_agg_cube,
     "win_range": q_win_range,
-    # -------- position 50+: outside the driver's sampling window --------
     # sampled in the r04 window (freshest evidence: CORRECTNESS_r04 green):
     "stream_session": q_stream_session,
     "stream_window_sliding": q_stream_window_sliding,

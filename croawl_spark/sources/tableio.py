@@ -138,12 +138,16 @@ class TableIO:
         dirs = [self._dir(table, c) for c in cycles]
         try:
             return self.spark.read.parquet(*dirs)
-        except Exception:
+        except Exception as e:
             # Hive-partitioned segments (write_snapshot partition_by=...)
-            # can't share one multi-root scan (CONFLICTING_DIRECTORY_
-            # STRUCTURES); union per-segment scans instead — bounded by
-            # compaction to <= compact_every branches, and partition
-            # (directory) pruning still applies inside each branch.
+            # can't share one multi-root scan; union per-segment scans
+            # instead — bounded by compaction to <= compact_every branches,
+            # and partition (directory) pruning still applies inside each
+            # branch. ONLY that specific failure is retried: swallowing
+            # arbitrary read errors (corrupt footer, permissions) here
+            # would mask the real cause behind a confusing second failure.
+            if "CONFLICTING_DIRECTORY_STRUCTURES" not in str(e):
+                raise
             dfs = [self.spark.read.parquet(d) for d in dirs]
             out = dfs[0]
             for d in dfs[1:]:

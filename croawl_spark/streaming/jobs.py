@@ -493,7 +493,29 @@ def stream_neardup_ingest(
     if not resume:
         io.destroy()
         io = TableIO(spark, base_dir)
+    else:
+        # index-structural geometry is frozen with the warehouse: resuming
+        # with different (n_perm, n_bands, k, n_buckets) would compute band
+        # keys / bucket ids the persisted minhash_sig rows don't match,
+        # silently admitting duplicates (same guard ST6 has for its filter)
+        c = io.counters()
+        got = tuple(
+            c.get(f"neardup_{name}")
+            for name in ("n_perm", "n_bands", "k", "n_buckets")
+        )
+        want = (n_perm, n_bands, k, n_buckets)
+        if got != (None, None, None, None) and got != want:
+            raise ValueError(
+                f"minhash index geometry mismatch: warehouse has "
+                f"(n_perm, n_bands, k, n_buckets)={got}, caller asked {want}"
+            )
     schema = spark.read.parquet(docs_dir).schema
+    geo_counters = {
+        "neardup_n_perm": n_perm,
+        "neardup_n_bands": n_bands,
+        "neardup_k": k,
+        "neardup_n_buckets": n_buckets,
+    }
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -538,7 +560,13 @@ def stream_neardup_ingest(
                 .select(F.col("doc_id"), "_oid")
                 .dropDuplicates(["doc_id", "_oid"])
             )
-            osig = idx.select(F.col("doc_id").alias("_oid"), F.col("sig").alias("sig_b")).dropDuplicates(["_oid"])
+            # signatures come from idx_PRUNED, not the full log: every
+            # candidate _oid matched a pruned band row by construction, and
+            # a full-log dropDuplicates would reshuffle O(history) sig
+            # arrays every batch — the exact cost the pruning exists to cap
+            osig = idx_pruned.select(
+                F.col("doc_id").alias("_oid"), F.col("sig").alias("sig_b")
+            ).dropDuplicates(["_oid"])
             confirmed = (
                 cand.join(surv_sig.select("doc_id", F.col("sig").alias("sig_a")), "doc_id")
                 .join(osig, "_oid")
@@ -574,7 +602,7 @@ def stream_neardup_ingest(
             "n_idx_rows_read long, wall_sec double",
         )
         io.write_snapshot(metrics, "ingest_metrics", cycle)
-        io.commit_cycle(cycle, tables)
+        io.commit_cycle(cycle, tables, counters=geo_counters)
         segs = io.read_manifest()["tables"].get("minhash_sig", [])
         if compact_every and len(segs) >= compact_every:
             live = io.read_log("minhash_sig")

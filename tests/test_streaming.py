@@ -424,3 +424,26 @@ def test_stream_neardup_ingest_resume(spark):
         c = io.read_log("corpus")
         assert c.count() > n0
         assert c.select("doc_id").distinct().count() == c.count()
+
+
+def test_stream_neardup_ingest_resume_geometry_guard(spark):
+    """ST7 resume with different index-structural geometry must raise —
+    persisted band keys / bucket ids would not match (code-review r05)."""
+    import glob as _g
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+        b = docs.filter(F.col("doc_id") < 60)
+        b.coalesce(1).write.parquet(f"{d}/in/b0", mode="overwrite")
+        part = _g.glob(f"{d}/in/b0/part-*.parquet")[0]
+        _os.rename(part, f"{d}/docs/b0.parquet")
+        SJ.stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh")
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            SJ.stream_neardup_ingest(
+                spark, f"{d}/docs", f"{d}/wh", resume=True, n_buckets=16
+            )
+        # matching geometry resumes fine (no new files -> no new cycle)
+        io = SJ.stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh", resume=True)
+        assert io.last_committed_cycle() == 0

@@ -1218,8 +1218,15 @@ def test_incremental_embed_index_geometry_validation(spark):
     idx = build_embed_index(old, n_planes=5, n_tables=12, n_extra=8)
     with _pytest.raises(ValueError, match="geometry mismatch"):
         incremental_embed_pairs(new, idx, old, n_planes=6, n_tables=12, n_extra=8)
-    with _pytest.raises(ValueError, match="exceeds the index"):
+    # ANY n_extra mismatch is fatal — the extra-bit hyperplanes for a
+    # different count are not a prefix/superset, they are different planes
+    with _pytest.raises(ValueError, match="!= index build n_extra"):
         incremental_embed_pairs(new, idx, old, n_planes=5, n_tables=12, n_extra=16)
+    with _pytest.raises(ValueError, match="!= index build n_extra"):
+        incremental_embed_pairs(new, idx, old, n_planes=5, n_tables=12, n_extra=4)
+    # n_extra=0 disables capping entirely — always safe
+    ok0 = incremental_embed_pairs(new, idx, old, n_planes=5, n_tables=12, n_extra=0)
+    assert ok0.count() >= 0
     # matching geometry still works end-to-end
     ok = incremental_embed_pairs(new, idx, old, n_planes=5, n_tables=12, n_extra=8)
     assert ok.count() >= 0
@@ -1492,3 +1499,15 @@ def test_bpe_train_matches_reference(spark):
     assert got == want and len(got) >= 8
     # sanity: the classic merges appear ("es" / "est" family from newest/widest)
     assert ("e", "s") in got or ("es", "t") in got or ("s", "t") in got
+
+
+def test_resample_sources_rejects_absent_weights(spark):
+    """A weight set naming no source present in the data raises a
+    descriptive error instead of an opaque empty-min ValueError."""
+    import pytest as _pytest
+
+    from croawl_spark.operators.corpus import resample_sources
+
+    docs = spark.createDataFrame([(1, "web")], "doc_id long, src string")
+    with _pytest.raises(ValueError, match="no weighted source present"):
+        resample_sources(docs, "doc_id", "src", {"missing": 1.0})

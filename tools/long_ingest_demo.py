@@ -125,9 +125,13 @@ def main() -> int:
         print(json.dumps(r), flush=True)
 
     half = len(rows) // 2
-    a = [r["wall_sec"] for r in rows[2:half]]
+    # skip 2 warmup cycles when the run is long enough; a short run
+    # (n_batches < 6) falls back to a plain halves split so the summary
+    # never divides by an empty slice
+    a = [r["wall_sec"] for r in (rows[2:half] if half > 2 else rows[:half])]
     b_ = [r["wall_sec"] for r in rows[half:]]
-    ma, mb = sum(a) / len(a), sum(b_) / len(b_)
+    ma = sum(a) / len(a) if a else float("nan")
+    mb = sum(b_) / len(b_) if b_ else float("nan")
     if neardup:
         live = io.read_log("minhash_sig").select("doc_id").distinct().count()
         print(
