@@ -65,6 +65,21 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
+    # Size-derived partitioning for the loop state (same rule as
+    # operators/pagerank.py, r06): target ~500k narrow rows per partition
+    # instead of inheriting spark.sql.shuffle.partitions into every
+    # persisted/checkpointed frame the rounds re-scan. On a toy graph this
+    # collapses the per-round edge scan + label checkpoint to one task
+    # each (measured ~25% of warm wall at sf1.0); at 10^9 vertices the
+    # same rule keeps defaultParallelism partitions — the knob scales
+    # with the data, not the box. The two setup counts are O(1)-result
+    # jobs over just-materialized frames.
+    sc = vertices.sparkSession.sparkContext
+    n_v = labels.count()
+    n_e = e.count()
+    par = max(1, min(sc.defaultParallelism, -(-n_v // 500_000)))
+    par_e = max(par, min(sc.defaultParallelism, -(-n_e // 500_000)))
+    e_base, e = e, e.coalesce(par_e)
     # Convergence = "no label changed this round", detected by carrying each
     # vertex's OLD label through the round's aggregate (the labels branch is
     # tagged _o=1; every id has exactly one such row) and counting
@@ -106,13 +121,14 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max(F.when(F.col("_o") == 1, F.col("component"))).alias("_old"),
             )
+            .coalesce(par)  # checkpoint par partitions, not shuffle-conf many
             .localCheckpoint()  # truncate lineage each round
         )
         n_changed = new_labels.filter(F.col("component") < F.col("_old")).count()
         labels = new_labels.select("id", "component")
         if n_changed == 0:  # labels are monotone non-increasing => fixpoint
             break
-    e.unpersist()
+    e_base.unpersist()
     return labels
 
 
@@ -184,9 +200,17 @@ def connected_components_star(
         .localCheckpoint()
     )
     n_b = b.count()
+    # Size-derived partitioning for the per-round edge checkpoint (same
+    # ~500k-narrow-rows-per-partition rule as connected_components /
+    # pagerank, r06): the edge set only shrinks, so the previous round's
+    # count sizes the next checkpoint — no extra job. Without this every
+    # round stores shuffle-conf-many near-empty partitions that the next
+    # round's two star phases re-scan as separate tasks.
+    sc = vertices.sparkSession.sparkContext
     for _ in range(max_iter):
+        par = max(1, min(sc.defaultParallelism, -(-n_b // 500_000)))
         sym = b.unionByName(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        b2 = _small_star(_large_star(sym)).localCheckpoint()
+        b2 = _small_star(_large_star(sym)).coalesce(par).localCheckpoint()
         n_b2 = b2.count()
         if n_b2 == n_b and b2.exceptAll(b).count() == 0:
             b = b2

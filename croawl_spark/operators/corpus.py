@@ -15,6 +15,55 @@ from pyspark.sql import functions as F
 from croawl_spark.operators.ranking import global_sequence  # noqa: F401 (re-export family)
 
 
+def _distinct_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_shingles: bool
+) -> DataFrame:
+    """-> (id, _gram): one row per DISTINCT n-token shingle per doc —
+    the shared shingling kernel of ngram_contamination / ngram_novelty.
+
+    Perf shape (r06, same fix as dedup._shingle_occurrences): the token
+    array is materialized in a child Project before the per-position
+    lambda (an inline split() inside transform's lambda re-splits the
+    text once per position — O(tokens²) per doc), and the hashed path
+    hashes each token once then combines the n token-hashes with one
+    ``xxhash64`` call per position (no n-token string ever built). A
+    shingle's hash equality coincides with string equality absent
+    birthday(2^64) collisions — the only property the distinct + join
+    consumers rely on — so outputs are unchanged."""
+    if hash_shingles:
+        th = df.select(
+            F.col(id_col),
+            F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t)).alias(
+                "_th"
+            ),
+        )
+        tv = F.col("_th")
+        gram = F.explode(
+            F.when(
+                F.size(tv) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tv) - F.lit(n - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(tv, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_gram")
+        return th.select(F.col(id_col), gram).dropDuplicates([id_col, "_gram"])
+    toks = df.select(F.col(id_col), F.split(text_col, " ").alias("_w"))
+    wv = F.col("_w")
+    gram = F.explode(
+        F.when(
+            F.size(wv) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wv) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(wv, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    ).alias("_gram")
+    return toks.select(F.col(id_col), gram).dropDuplicates([id_col, "_gram"])
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -212,20 +261,7 @@ def ngram_contamination(
     """
 
     def shingles(df: DataFrame) -> DataFrame:
-        w = F.split(text_col, " ")
-        gram = F.explode(
-            F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_gram")
-        out = df.select(F.col(id_col), gram)
-        if hash_shingles:
-            out = out.select(F.col(id_col), F.xxhash64("_gram").alias("_gram"))
-        return out.dropDuplicates([id_col, "_gram"])
+        return _distinct_shingle_rows(df, id_col, text_col, n, hash_shingles)
 
     bench = shingles(benchmark).select("_gram").distinct()
     cand = shingles(candidates)
@@ -668,20 +704,7 @@ def ngram_novelty(
     """
 
     def sh(df: DataFrame) -> DataFrame:
-        w = F.split(text_col, " ")
-        gram = F.explode(
-            F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_gram")
-        out = df.select(F.col(id_col), gram)
-        if hash_shingles:
-            out = out.select(F.col(id_col), F.xxhash64("_gram").alias("_gram"))
-        return out.dropDuplicates([id_col, "_gram"])
+        return _distinct_shingle_rows(df, id_col, text_col, n, hash_shingles)
 
     ref = sh(reference).select("_gram").distinct()
     cand = sh(candidates)

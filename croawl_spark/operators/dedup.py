@@ -122,27 +122,62 @@ def _shingle_occurrences(
     """-> (id, pos, _g): one row per k-token shingle occurrence, pos the
     1-based token position. Tokens are single-space splits (the corpus
     module's shingling convention — ngram_contamination); with
-    ``hash_shingles`` the shuffle carries the 8-byte xxhash64 instead of
-    the k-token string. Pure JVM: sequence + transform + explode."""
-    w = F.split(text_col, " ")
+    ``hash_shingles`` the shuffle carries an 8-byte hash instead of the
+    k-token string. Pure JVM: sequence + transform + explode.
+
+    Perf shape (r06): the token array is materialized in a child Project
+    BEFORE the per-position lambda — an inline ``split()`` referenced
+    inside ``transform``'s lambda re-splits the text once per position
+    (O(tokens²) per doc; measured 3.5× of the pass cost at sf1.0). For
+    the hashed path each token is hashed ONCE and a shingle's hash is
+    ``xxhash64`` over its k token-hashes (position-sensitive, 64 bytes
+    hashed per shingle instead of building + hashing the k-token string;
+    another ~2× off the pass). Shingle-hash equality still coincides with
+    shingle equality absent birthday(2^64) collisions — the only property
+    any consumer relies on — so outputs are unchanged.
+    """
+    if hash_shingles:
+        th = docs.select(
+            F.col(id_col),
+            F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t)).alias(
+                "_th"
+            ),
+        )
+        tv = F.col("_th")
+        occ = F.explode(
+            F.when(
+                F.size(tv) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tv) - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            *[F.element_at(tv, i + j) for j in range(k)]
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+        ).alias("_s")
+        return th.select(F.col(id_col), occ).select(
+            id_col, F.col("_s.pos").alias("pos"), F.col("_s.g").alias("_g")
+        )
+    toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("_w"))
+    wv = F.col("_w")
     occ = F.explode(
         F.when(
-            F.size(w) >= k,
+            F.size(wv) >= k,
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+                F.sequence(F.lit(1), F.size(wv) - F.lit(k - 1)),
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.concat_ws(" ", F.slice(w, i, k)).alias("g"),
+                    F.concat_ws(" ", F.slice(wv, i, k)).alias("g"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
     ).alias("_s")
-    out = docs.select(F.col(id_col), occ).select(
+    return toks.select(F.col(id_col), occ).select(
         id_col, F.col("_s.pos").alias("pos"), F.col("_s.g").alias("_g")
     )
-    if hash_shingles:
-        out = out.withColumn("_g", F.xxhash64("_g"))
-    return out
 
 
 def _merge_spans(occ: DataFrame, id_col: str, k: int) -> DataFrame:

@@ -29,12 +29,22 @@ from pyspark.sql import functions as F
 
 
 def shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
-    """Add ``shingles: array<string>`` of k-word shingles (distinct)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    """Add ``shingles: array<string>`` of k-word shingles (distinct).
+
+    The token array is materialized in its own projection before the
+    per-position lambda (r06): an inline ``split()`` referenced inside
+    ``transform``'s lambda re-splits the text once per position —
+    O(tokens²) per doc. Shingle strings (and so every downstream MinHash
+    signature value) are byte-identical to the inline form."""
+    toks = F.col("_mh_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return df.withColumn("shingles", F.array_distinct(sh))
+    return (
+        df.withColumn("_mh_toks", F.split(F.lower(F.col(text_col)), " "))
+        .withColumn("shingles", F.array_distinct(sh))
+        .drop("_mh_toks")
+    )
 
 
 def minhash_signature(

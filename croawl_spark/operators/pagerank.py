@@ -62,6 +62,16 @@ def pagerank(
         .join(v.select(F.col("id").alias("dst")), "dst", "left_semi")
         .persist()
     )
+    # Same size-derived rule for the edge frame the 8+ rounds re-scan
+    # (r06): the persisted distinct/semi-join output inherits shuffle-conf
+    # partitioning, so every round's contribs job paid shuffle-conf-many
+    # scan tasks over a tiny cached set. One O(1)-result count sizes it;
+    # at web scale par_e stays at defaultParallelism and the coalesce is
+    # a no-op in effect.
+    n_e = e.count()
+    par_e = max(par, min(vertices.sparkSession.sparkContext.defaultParallelism,
+                         -(-n_e // 500_000)))
+    e_base, e = e, e.coalesce(par_e)
     out_deg = (
         e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
         .coalesce(par)
@@ -111,6 +121,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    e.unpersist()
+    e_base.unpersist()
     out_deg.unpersist()
     return ranks

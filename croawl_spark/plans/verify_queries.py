@@ -593,26 +593,38 @@ def q_ann_cosine(spark, sf):
     """Brute-force cosine top-k (similarity-search baseline), quantized to
     int space so the oracle is bit-exact: q = floor(1000*x) per dim."""
     e = _t(spark, sf, "embeddings")
+    # r06: dot products and norms as JVM array higher-order functions over
+    # the quantized vector column (zip_with + aggregate) instead of
+    # posexplode + join-on-pos + re-aggregate — same integer math, so the
+    # output is bit-identical to the oracle, but the plan drops the d-fold
+    # explode and three Exchanges (norms agg, dots agg, and the explode-
+    # side re-join); the only remaining wide ops are the broadcast of the
+    # 5 query vectors and the per-query top-k window. ``size(q) > 0``
+    # reproduces the explode form's behavior for empty/NULL vectors
+    # (which never produced a row).
     qe = e.select(
         "vec_id",
         F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")).alias("q"),
-    )
-    ex = qe.select("vec_id", F.posexplode("q").alias("pos", "v"))
-    norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("norm2"))
-    qv = ex.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qval")
+    ).filter(F.size("q") > 0)
+    norm2 = F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = qe.withColumn("norm2", norm2)
+    qs = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv"), F.col("norm2").alias("qn")
     )
     dots = (
-        qv.join(ex.filter(F.col("vec_id") >= 5), "pos")
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("qval") * F.col("v")).alias("dot"))
+        base.filter(F.col("vec_id") >= 5)
+        .withColumnRenamed("norm2", "cn")
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("q", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2").alias("qn"))
-    nc = norms.select("vec_id", F.col("norm2").alias("cn"))
-    cos = (
-        dots.join(nq, "qid").join(nc, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("cn")))
-    )
+    cos = dots.withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("cn")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cos.withColumn("rk", F.row_number().over(w))
