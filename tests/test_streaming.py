@@ -264,7 +264,8 @@ def test_stream_corpus_ingest_read_volume(spark):
             part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
             _os.rename(part, f"{d}/docs/b{i}.parquet")
         io = SJ.stream_corpus_ingest(
-            spark, f"{d}/docs", f"{d}/wh", compact_every=2
+            spark, f"{d}/docs", f"{d}/wh", compact_every=2,
+            metrics_level="full",
         )
         # batch cycle numbers skip over compaction commits: order by cycle
         m = sorted(
@@ -371,7 +372,8 @@ def test_stream_neardup_ingest_drops_planted_neardups(spark):
             part = _g.glob(f"{dst}/in/b{i}/part-*.parquet")[0]
             _os.rename(part, f"{dst}/docs/b{i}.parquet")
         return SJ.stream_neardup_ingest(
-            spark, f"{dst}/docs", f"{dst}/wh", threshold=0.7
+            spark, f"{dst}/docs", f"{dst}/wh", threshold=0.7,
+            metrics_level="full",
         )
 
     with tempfile.TemporaryDirectory() as d:
@@ -381,10 +383,13 @@ def test_stream_neardup_ingest_drops_planted_neardups(spark):
         # their copies arrived in batch 1 and must be gone
         assert 95003 not in got and 96005 not in got
         assert 3 in got and 5 in got
-        # within-batch twin: 160 survives (min id), 97160 dropped —
-        # given doc 160 passes the quality screen
-        if 160 in got:
-            assert 97160 not in got
+        # within-batch twin: 160 survives (min id), 97160 dropped.
+        # doc 160 is verified to pass the repetition screen at sf0.01
+        # (like docs 3/5 in the read-volume test), so the within-batch
+        # near-dup claim is asserted UNCONDITIONALLY (ADVICE r05 #4 —
+        # the old `if 160 in got` guard could silently skip it)
+        assert 160 in got
+        assert 97160 not in got
         # novel batch-1 docs survived (quality-screen survivors)
         assert any(150 <= i < 250 for i in got)
         m = sorted(io.read_log("ingest_metrics").collect(), key=lambda r: r["cycle"])
@@ -447,3 +452,117 @@ def test_stream_neardup_ingest_resume_geometry_guard(spark):
         # matching geometry resumes fine (no new files -> no new cycle)
         io = SJ.stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh", resume=True)
         assert io.last_committed_cycle() == 0
+
+
+def test_stream_corpus_ingest_resume_legacy_warehouse(spark):
+    """ST6 resume on a warehouse with a committed content_seen log but NO
+    content_filter snapshot (legacy layout / lost snapshot) must rebuild
+    the filter from the exact log, not fall into the fresh-warehouse
+    branch — cross-batch duplicates would otherwise be silently admitted
+    (ADVICE r05, medium). The legacy log also lacks the bucket column:
+    the pruned read must derive it row-wise instead of failing."""
+    import glob as _g
+    import os as _os
+
+    from croawl_spark.sources.tableio import TableIO
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        # hand-build the legacy warehouse: content_seen + corpus committed
+        # for cycle 0, WITHOUT content_filter and WITHOUT bucket dirs
+        io = TableIO(spark, f"{d}/wh")
+        b0 = docs.filter(F.col("doc_id").isin(3, 5))
+        io.write_snapshot(b0, "corpus", 0)
+        io.write_snapshot(
+            b0.select(
+                F.xxhash64("text").alias("_h"),
+                F.col("doc_id").alias("first_doc_id"),
+            ),
+            "content_seen",
+            0,
+        )
+        io.commit_cycle(0, ["corpus", "content_seen"])
+        # batch 1: a re-keyed copy of doc 3 (cross-batch dup) + novel docs
+        dup = b0.filter(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 95000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        ).select(*docs.columns)
+        b1 = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+        ).unionByName(dup)
+        _os.makedirs(f"{d}/docs")
+        b1.coalesce(1).write.parquet(f"{d}/in/b1", mode="overwrite")
+        part = _g.glob(f"{d}/in/b1/part-*.parquet")[0]
+        _os.rename(part, f"{d}/docs/b1.parquet")
+        io = SJ.stream_corpus_ingest(
+            spark, f"{d}/docs", f"{d}/wh", resume=True
+        )
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        assert 95003 not in got, "legacy resume admitted a cross-batch dup"
+        assert 3 in got and any(100 <= i < 150 for i in got)
+        # the filter snapshot now exists (rebuilt + extended + committed)
+        assert io.read_snapshot("content_filter").count() > 0
+
+
+def test_stream_neardup_compacted_index_is_bucketed(spark):
+    """ST7 + TableIO bucketed-index mode (VERDICT r05 item #1): after
+    compaction the minhash_sig log is ONE segment stored bucketBy(band,
+    key); probes against it still drop cross-batch dups, and the probe
+    join against the compacted segment has ZERO index-side exchange
+    (broadcast probe: no exchange anywhere in the join subtree)."""
+    import glob as _g
+    import json as _json
+    import os as _os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    parts = [
+        docs.filter(F.col("doc_id") < 80),
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 160)),
+        # batch 2 arrives AFTER compaction (compact_every=2) and carries a
+        # re-keyed exact copy of doc 3 — it must be caught by probing the
+        # COMPACTED bucketed segment
+        docs.filter((F.col("doc_id") >= 160) & (F.col("doc_id") < 220))
+        .unionByName(
+            docs.filter(F.col("doc_id") == 3).select(
+                (F.col("doc_id") + 95000).alias("doc_id"),
+                *[c for c in docs.columns if c != "doc_id"],
+            ).select(*docs.columns)
+        ),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _os.makedirs(f"{d}/docs")
+        for i, b in enumerate(parts):
+            b.coalesce(1).write.parquet(f"{d}/in/b{i}", mode="overwrite")
+            part = _g.glob(f"{d}/in/b{i}/part-*.parquet")[0]
+            _os.rename(part, f"{d}/docs/b{i}.parquet")
+        io = SJ.stream_neardup_ingest(
+            spark, f"{d}/docs", f"{d}/wh", threshold=0.7, compact_every=2
+        )
+        got = {r["doc_id"] for r in io.read_log("corpus").collect()}
+        assert 95003 not in got and 3 in got
+        # layout: exactly one bucketed compacted segment + the batch-2
+        # delta; the compacted one carries the bucket_layout sidecar
+        segs = io.read_log_segments("minhash_sig")
+        metas = [m for _, m in segs]
+        assert any(m is not None for m in metas), "no bucketed segment"
+        bucketed = [(df, m) for df, m in segs if m is not None]
+        bdf, bmeta = bucketed[0]
+        assert bmeta["cols"] == ["band", "key"]
+        # probe-shaped join against the compacted segment: index side must
+        # not move (broadcast probe -> no exchange in the plan at all)
+        probe = bdf.limit(50).select("band", "key").distinct()
+        j = F.broadcast(probe).join(bdf, ["band", "key"])
+        j.count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in p
+        # the catalog re-registration path: drop the session entry and
+        # read again — the sidecar recreates the bucketed table
+        spark.sql(f"DROP TABLE IF EXISTS {bmeta['name']}")
+        segs2 = io.read_log_segments("minhash_sig")
+        bdf2 = [df for df, m in segs2 if m is not None][0]
+        assert bdf2.count() == bdf.count()
+        p2 = (
+            F.broadcast(probe).join(bdf2, ["band", "key"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" not in p2

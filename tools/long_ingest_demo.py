@@ -38,6 +38,9 @@ import time
 
 def main() -> int:
     neardup = "--neardup" in sys.argv
+    # r06: lineage counts are opt-in (metrics_level="full") — the default
+    # "basic" level reads each pruned slice exactly once per batch
+    level = "full" if "--full-metrics" in sys.argv else "basic"
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_batches = int(args[0]) if len(args) > 0 else 100
     per_batch = int(args[1]) if len(args) > 1 else 50
@@ -112,9 +115,9 @@ def main() -> int:
         # ST7 variant: MinHash near-dup across batches vs the bucketed
         # persisted band-key index (planted dups are byte-identical,
         # so they are est_sim=1 cases for the LSH path too)
-        io = stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh")
+        io = stream_neardup_ingest(spark, f"{d}/docs", f"{d}/wh", metrics_level=level)
     else:
-        io = stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh")
+        io = stream_corpus_ingest(spark, f"{d}/docs", f"{d}/wh", metrics_level=level)
     stream_wall = round(time.perf_counter() - t0, 1)
 
     rows = sorted(
