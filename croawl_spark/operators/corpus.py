@@ -129,10 +129,15 @@ def pack_sequences(
     cumsum, so it distributes, and a batch overflows by at most one
     document). -> (id, n_tokens, cum_tokens, batch_id).
     """
+    # eager (r06): global_cumsum's range-partition exchange SAMPLES its
+    # child to pick boundaries, so an un-materialized input pays the
+    # corpus tokenize twice (sample pass + shuffle pass). Checkpoint the
+    # narrow (id, n_tokens) projection once — 16 bytes/doc — so both
+    # passes read it instead of re-splitting the text column.
     toks = docs.select(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     cum = global_cumsum(toks, [id_col], "n_tokens", "cum_tokens")
     return cum.withColumn(
         "batch_id",
@@ -189,13 +194,18 @@ def bm25_score(
     -> (id, bm25) for documents matching >= 1 term.
     """
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # eager (r06): base feeds THREE consumers (corpus stats, tf, df) and
+    # contains no exchange Spark could reuse across them — without the
+    # checkpoint the corpus is tokenized+filtered once per consumer. The
+    # cached rows are narrow by construction: doc length + query-term
+    # hits only, never the text.
     base = docs.select(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("long").alias("_dl"),
         F.filter(
             F.split(text_col, " "), lambda x: F.array_contains(terms, x)
         ).alias("_hits"),
-    )
+    ).localCheckpoint()
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
@@ -715,7 +725,11 @@ def ngram_novelty(
         return _distinct_shingle_rows(df, id_col, text_col, n, hash_shingles)
 
     ref = sh(reference).select("_gram").distinct()
-    cand = sh(candidates)
+    # eager (r06): the candidate shingle set feeds BOTH the novelty
+    # anti-join and the totals aggregate — checkpoint it once instead of
+    # re-shingling the candidate corpus per consumer (same pattern as
+    # dedup.duplicate_passages; blocks free on GC)
+    cand = sh(candidates).localCheckpoint()
     novel = (
         cand.join(ref, "_gram", "left_anti")
         .groupBy(id_col)

@@ -238,8 +238,18 @@ def duplicate_passages(
     (8-byte keys, partial-aggregated map-side) and the per-doc window
     (keyed on doc id, carrying only flagged positions — the duplicated
     fraction, not the token stream). The corpus body never shuffles.
+
+    NOTE eager (r06): the occurrence frame is materialized once
+    (localCheckpoint) — it feeds BOTH the dup-key aggregate and the
+    flagging semi-join, and without the checkpoint the plan re-reads and
+    re-shingles the whole corpus for each consumer (measured: the second
+    shingle pass was ~25% of the query at sf1.0). The checkpointed rows
+    are (id, pos, hash) — O(corpus tokens) × 20 bytes, spilling to local
+    disk like any shuffle — and free themselves on GC.
     """
-    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
+    occ = _shingle_occurrences(
+        docs, id_col, text_col, k, hash_shingles
+    ).localCheckpoint()
     dup_keys = (
         occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
@@ -303,8 +313,13 @@ def incremental_duplicate_passages(
     ``merge_shingle_index(index, build_shingle_index(new_docs, ...))``.
 
     -> (id, span_start, span_end, n_tokens) over new docs only.
+    Eager like duplicate_passages (r06): the new batch's occurrence frame
+    is checkpointed once instead of re-shingling the batch for the count
+    aggregate and again for the flagging semi-join.
     """
-    occ = _shingle_occurrences(new_docs, id_col, text_col, k, hash_shingles)
+    occ = _shingle_occurrences(
+        new_docs, id_col, text_col, k, hash_shingles
+    ).localCheckpoint()
     newcnt = occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_nc"))
     dup_keys = (
         newcnt.join(index.select("_g", F.col("cnt").alias("_oc")), "_g", "left")
@@ -333,8 +348,13 @@ def remove_duplicate_passages(
     space-normalized original. The rebuild (collect flagged positions ->
     array_except over the token position stream) stays JVM-side:
     positions explode only for docs that HAVE removable spans.
+    Eager like duplicate_passages (r06): the occurrence frame is
+    checkpointed once instead of re-shingling the corpus for the firsts
+    aggregate and again for the removable join.
     """
-    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
+    occ = _shingle_occurrences(
+        docs, id_col, text_col, k, hash_shingles
+    ).localCheckpoint()
     firsts = occ.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct(id_col, "pos")).alias("_first"),

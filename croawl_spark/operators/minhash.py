@@ -138,7 +138,13 @@ def minhash_dedup_pairs(
     n_bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    sig = minhash_signature(df, id_col, text_col, n_perm, k)
+    # eager (r06): the signature table feeds THREE consumers inside
+    # lsh_candidate_pairs (band derivation + both re-attach sides) —
+    # checkpoint it once so the shingle+minhash aggregate (the corpus-
+    # scale pass) runs once instead of three times per plan. Signature
+    # VALUES are untouched; the streaming ingest (jobs.py) already
+    # checkpoints its signatures for the same reason.
+    sig = minhash_signature(df, id_col, text_col, n_perm, k).localCheckpoint()
     return lsh_candidate_pairs(sig, id_col, n_perm, n_bands).filter(
         F.col("est_sim") >= threshold
     )
@@ -167,7 +173,12 @@ def simhash_dedup_pairs(
 
     assert max_hamming < n_bands, "exact recall needs n_bands > max_hamming"
     width = 64 // n_bands
-    sims = df.select(id_col, simhash_udf(F.col(text_col)).alias("sh"))
+    # eager (r06): the simhash column comes out of a vectorized Python
+    # UDF and feeds three consumers (banding + both re-attach sides) —
+    # checkpoint so the Arrow crossing runs once per corpus, not thrice
+    sims = df.select(
+        id_col, simhash_udf(F.col(text_col)).alias("sh")
+    ).localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -228,7 +239,12 @@ def incremental_minhash_pairs(
     the index plus new-vs-new pairs; signatures/band keys are identical
     deterministic functions of the text.
     """
-    new_sig = minhash_signature(new_df, id_col, text_col, n_perm, k)
+    # eager (r06): new_sig feeds the cross-pair banding, the signature
+    # union AND the within-batch self-pair derivation — checkpoint once
+    # (same rationale as minhash_dedup_pairs)
+    new_sig = minhash_signature(
+        new_df, id_col, text_col, n_perm, k
+    ).localCheckpoint()
     nb = band_keys(new_sig, id_col, n_perm, n_bands).select(
         F.col(id_col).alias("_nid"), "band", "key"
     )

@@ -26,6 +26,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from croawl_spark.operators.cluster import DRIVER_LOCAL_MAX_EDGES
+
+
+def _pagerank_driver_local(
+    spark, v: DataFrame, e: DataFrame, n: int, n_iter: int, damping: float
+) -> DataFrame | None:
+    """Power method on the driver once the graph fits the collect gate
+    (r06, the bpe_train/connected_components driver-local pattern): the
+    scale-bearing passes — vertex distinct + edge distinct/semi-join —
+    already ran distributed; below the gate the 2-jobs-per-round loop is
+    pure scheduling overhead. numpy vectorized, same per-round math
+    (contrib = rank/out_deg summed per dst; dangling mass = 1 - flowed,
+    redistributed uniformly); float sums differ from the distributed
+    partial-aggregation order only at machine-epsilon scale — callers
+    round well above it (host_rank: 6dp). Returns None when ids are
+    non-integer (keeps the legacy path)."""
+    import numpy as np
+    import pyarrow.types as pat
+
+    vt = v.select("id").toArrow()
+    # select by NAME: the using-column semi-joins upstream reorder the
+    # edge frame's columns (the join key moves to the front)
+    et = e.select("src", "dst").toArrow()
+    if not all(
+        pat.is_integer(f.type) for t in (vt, et) for f in t.schema
+    ) or any(c.null_count for t in (vt, et) for c in t.columns):
+        return None
+    import pandas as pd
+
+    ids = np.sort(vt.column(0).to_numpy().astype(np.int64, copy=False))
+    src = np.searchsorted(ids, et.column(0).to_numpy().astype(np.int64, copy=False))
+    dst = np.searchsorted(ids, et.column(1).to_numpy().astype(np.int64, copy=False))
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, src, 1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        in_mass = np.zeros(n)
+        np.add.at(in_mass, dst, rank[src] / out_deg[src])
+        flowed = in_mass.sum()
+        dangling = (1.0 - flowed) / n
+        rank = (1.0 - damping) / n + damping * (in_mass + dangling)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "rank": rank})
+    ).select(F.col("id").cast(dict(v.dtypes)["id"]), F.col("rank"))
+
 
 def pagerank(
     vertices: DataFrame,
@@ -69,6 +114,16 @@ def pagerank(
     # at web scale par_e stays at defaultParallelism and the coalesce is
     # a no-op in effect.
     n_e = e.count()
+    # Driver-local fast path (r06): both setup counts are already paid;
+    # when vertices AND distinct edges fit the collect gate, run the
+    # power loop on the driver (numpy) instead of 2 Spark jobs x n_iter.
+    if n <= DRIVER_LOCAL_MAX_EDGES and n_e <= DRIVER_LOCAL_MAX_EDGES:
+        local = _pagerank_driver_local(
+            vertices.sparkSession, v, e, n, n_iter, damping
+        )
+        if local is not None:
+            e.unpersist()
+            return local
     par_e = max(par, min(vertices.sparkSession.sparkContext.defaultParallelism,
                          -(-n_e // 500_000)))
     e_base, e = e, e.coalesce(par_e)

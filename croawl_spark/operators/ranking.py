@@ -63,6 +63,7 @@ def global_sequence(
     seq_name: str,
     start: int = 0,
     n_parts: int | None = None,
+    eager_input: bool = False,
 ) -> DataFrame:
     """Cluster-size-invariant global sequence: dense rank over a total order,
     computed WITHOUT a single-partition window.
@@ -73,8 +74,16 @@ def global_sequence(
     on the data (order_cols must be a total order) — range boundaries chosen
     by sampling affect task placement, never the output. NEVER
     ``monotonically_increasing_id`` (partition-dependent values).
+
+    ``eager_input`` (r06): the range exchange SAMPLES its child to pick
+    boundaries, so the segment of the input plan above its last shuffle
+    runs twice (sample pass + map pass). Callers whose input ends in
+    non-trivial post-shuffle work (window top-k, anti-join probes) pass
+    True to checkpoint the input once; values are unaffected either way.
     """
     spark = df.sparkSession
+    if eager_input:
+        df = df.localCheckpoint()
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
     parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])

@@ -453,6 +453,8 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
         ["depth", "disc_seq"],
         "fetch_seq",
         start=fetch_base,
+        eager_input=True,  # r06: don't re-run the top-k windows for the
+        # range-boundary sample pass
     ).localCheckpoint()
     _mark("rank+seq batch")
 
@@ -534,7 +536,10 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
 
     seen_base = int(counters.get("next_disc_seq", 0))
     new_rows = global_sequence(
-        new_links, ["parent_fetch_seq", "link_pos"], "disc_seq", start=seen_base
+        new_links, ["parent_fetch_seq", "link_pos"], "disc_seq",
+        start=seen_base,
+        eager_input=True,  # r06: don't re-run the seen-probe/anti-join
+        # tail for the range-boundary sample pass
     ).select(
         "url",
         "canon_url",
@@ -600,55 +605,75 @@ def run_cycle(spark: SparkSession, io: TableIO, cycle: int, cfg: CrawlConfig) ->
     )
 
     _mark("metrics prep")
-    io.write_snapshot(fetch_log, "fetch_log", cycle)
-    _mark("write fetch_log (fetch ran here)")
-    io.write_snapshot(documents, "documents", cycle)
-    _mark("write documents")
-    io.write_snapshot(metadata, "metadata", cycle)
-    _mark("write metadata (parse ran here)")
-    io.write_snapshot(content_dups, "content_dups", cycle)
-    io.write_snapshot(cs_delta, "content_seen", cycle)
-    _mark("write content-seen")
-    io.write_snapshot(metrics, "metrics", cycle)
-    replace_tables: dict[str, list[int]] | None = None
-    if cfg.frontier_mode == "tombstone":
-        compact_now = (
-            cfg.frontier_compact_every > 0
-            and (cycle + 1) % cfg.frontier_compact_every == 0
-        )
-        if compact_now:
-            # amortized O(frontier) rewrite (1 cycle in K): the resolved
-            # view becomes the sole adds segment, the tombstone log empties
-            # — both in the cycle's one atomic manifest commit
-            frontier_next = frontier.join(
-                batch.select("url_hash", "canon_url"),
-                ["url_hash", "canon_url"],
-                "left_anti",
-            ).unionByName(new_allowed)
-            frontier_tables = io.write_merge_delta(
-                frontier_next, None, "frontier", cycle
+
+    # r06 (guide §2.6 — overlap independent jobs): the per-cycle sink
+    # writes are independent of each other (each reads already-persisted /
+    # checkpointed frames and writes its own segment directory; the cycle
+    # becomes visible only at the single atomic manifest commit below), so
+    # they run from a small thread pool — the tail tasks of one write
+    # back-fill executor cores freed by another instead of serializing
+    # 8-9 jobs end to end. Grouping: the two sinks that re-read the
+    # persisted fetch output share a thread; host_state precedes frontier
+    # in its thread because new_allowed builds on the persisted
+    # host_state_next (written-first = materialized-once).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _writes_fetch() -> None:
+        io.write_snapshot(fetch_log, "fetch_log", cycle)
+        io.write_snapshot(documents, "documents", cycle)
+
+    def _writes_side() -> None:
+        io.write_snapshot(metadata, "metadata", cycle)
+        io.write_snapshot(content_dups, "content_dups", cycle)
+        io.write_snapshot(cs_delta, "content_seen", cycle)
+        io.write_snapshot(metrics, "metrics", cycle)
+        io.write_snapshot(seen_delta, "seen", cycle)
+
+    def _writes_frontier() -> tuple[list[str], dict[str, list[int]] | None]:
+        io.write_snapshot(host_state_next, "host_state", cycle)
+        if cfg.frontier_mode == "tombstone":
+            compact_now = (
+                cfg.frontier_compact_every > 0
+                and (cycle + 1) % cfg.frontier_compact_every == 0
             )
-            replace_tables = {"frontier__adds": [cycle], "frontier__dels": []}
-            _mark("write frontier (compacted)")
-        else:
+            if compact_now:
+                # amortized O(frontier) rewrite (1 cycle in K): the
+                # resolved view becomes the sole adds segment, the
+                # tombstone log empties — both in the cycle's one atomic
+                # manifest commit
+                frontier_next = frontier.join(
+                    batch.select("url_hash", "canon_url"),
+                    ["url_hash", "canon_url"],
+                    "left_anti",
+                ).unionByName(new_allowed)
+                return (
+                    io.write_merge_delta(frontier_next, None, "frontier", cycle),
+                    {"frontier__adds": [cycle], "frontier__dels": []},
+                )
             # the O(delta) steady state: O(new) adds + O(batch) delete keys
-            frontier_tables = io.write_merge_delta(
-                new_allowed,
-                batch.select("url_hash", "canon_url"),
-                "frontier",
-                cycle,
+            return (
+                io.write_merge_delta(
+                    new_allowed,
+                    batch.select("url_hash", "canon_url"),
+                    "frontier",
+                    cycle,
+                ),
+                None,
             )
-            _mark("write frontier delta")
-    else:
         frontier_next = frontier.join(
             batch.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
         ).unionByName(new_allowed)
         io.write_snapshot(frontier_next, "frontier", cycle)
-        frontier_tables = ["frontier"]
-        _mark("write frontier")
-    io.write_snapshot(seen_delta, "seen", cycle)
-    _mark("write seen delta")
-    io.write_snapshot(host_state_next, "host_state", cycle)
+        return (["frontier"], None)
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_fetch = _pool.submit(_writes_fetch)
+        _f_side = _pool.submit(_writes_side)
+        _f_frontier = _pool.submit(_writes_frontier)
+        _f_fetch.result()
+        _f_side.result()
+        frontier_tables, replace_tables = _f_frontier.result()
+    _mark("table writes (3 threads)")
     committed = [
         "fetch_log", "documents", "metadata", "metrics",
         "seen", "host_state", "content_dups", "content_seen",
