@@ -725,11 +725,11 @@ def ngram_novelty(
         return _distinct_shingle_rows(df, id_col, text_col, n, hash_shingles)
 
     ref = sh(reference).select("_gram").distinct()
-    # eager (r06): the candidate shingle set feeds BOTH the novelty
-    # anti-join and the totals aggregate — checkpoint it once instead of
-    # re-shingling the candidate corpus per consumer (same pattern as
-    # dedup.duplicate_passages; blocks free on GC)
-    cand = sh(candidates).localCheckpoint()
+    # (r06 note: checkpointing cand was measured at two scales and
+    # REGRESSED both — the per-consumer re-shingle is map-side work the
+    # join pipelines absorb, cheaper than materializing the distinct
+    # shingle rows. Left lazy.)
+    cand = sh(candidates)
     novel = (
         cand.join(ref, "_gram", "left_anti")
         .groupBy(id_col)

@@ -348,13 +348,12 @@ def remove_duplicate_passages(
     space-normalized original. The rebuild (collect flagged positions ->
     array_except over the token position stream) stays JVM-side:
     positions explode only for docs that HAVE removable spans.
-    Eager like duplicate_passages (r06): the occurrence frame is
-    checkpointed once instead of re-shingling the corpus for the firsts
-    aggregate and again for the removable join.
+    (r06 note: an occurrence-frame checkpoint like duplicate_passages'
+    was measured here at two scales and REGRESSED both — this function's
+    second shingle pass is map-side work folded into the removable join,
+    cheaper than materializing the occurrence rows. Left lazy.)
     """
-    occ = _shingle_occurrences(
-        docs, id_col, text_col, k, hash_shingles
-    ).localCheckpoint()
+    occ = _shingle_occurrences(docs, id_col, text_col, k, hash_shingles)
     firsts = occ.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct(id_col, "pos")).alias("_first"),

@@ -80,6 +80,7 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    driver_local_max_edges: int | None = None,
 ) -> DataFrame:
     """-> (id, rank); sum(rank) == 1 up to float error every round.
 
@@ -117,7 +118,9 @@ def pagerank(
     # Driver-local fast path (r06): both setup counts are already paid;
     # when vertices AND distinct edges fit the collect gate, run the
     # power loop on the driver (numpy) instead of 2 Spark jobs x n_iter.
-    if n <= DRIVER_LOCAL_MAX_EDGES and n_e <= DRIVER_LOCAL_MAX_EDGES:
+    if driver_local_max_edges is None:
+        driver_local_max_edges = DRIVER_LOCAL_MAX_EDGES
+    if n <= driver_local_max_edges and n_e <= driver_local_max_edges:
         local = _pagerank_driver_local(
             vertices.sparkSession, v, e, n, n_iter, damping
         )

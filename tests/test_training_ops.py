@@ -1565,3 +1565,46 @@ def test_bpe_train_local_equals_distributed(spark):
     local = bpe_train(docs, "text", n_merges=12)
     dist = bpe_train(docs, "text", n_merges=12, driver_local_max_words=0)
     assert local == dist and len(local) == 12
+
+
+def test_graph_ops_driver_local_equals_distributed(spark):
+    """r06: the driver-local fixpoint fast path (numpy hash-min /
+    power-method under DRIVER_LOCAL_MAX_EDGES) must reproduce the
+    distributed loops exactly — bit-identical labels for both
+    connected-components variants (integer min-propagation), and
+    machine-epsilon-level rank parity (asserted at the 6dp rounding the
+    host_rank oracle key applies) for pagerank."""
+    import random
+
+    from croawl_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+    from croawl_spark.operators.pagerank import pagerank
+
+    rnd = random.Random(11)
+    n = 400
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(600)]
+    edges += [(i, i + 1) for i in range(300, 380)]  # a chain segment
+    verts = spark.range(n).select(F.col("id"))
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+
+    for fn in (connected_components, connected_components_star):
+        local = sorted(fn(verts, e_df).collect())
+        dist = sorted(fn(verts, e_df, driver_local_max_edges=0).collect())
+        assert local == dist, fn.__name__
+
+    pr_local = {
+        r["id"]: r["rank"] for r in pagerank(verts, e_df, n_iter=6).collect()
+    }
+    pr_dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            verts, e_df, n_iter=6, driver_local_max_edges=0
+        ).collect()
+    }
+    assert set(pr_local) == set(pr_dist) == set(range(n))
+    assert all(
+        round(pr_local[k], 6) == round(pr_dist[k], 6) for k in pr_local
+    )
+    assert abs(sum(pr_local.values()) - 1.0) < 1e-9
