@@ -198,6 +198,162 @@ def _apply_bucket_cap(
     )
 
 
+# Vector sets at or below this many collected rows run the LSH pair
+# derivation driver-locally (r06 — the cluster/pagerank/bpe_train gate
+# pattern): the distributed form is ~40 AQE stage-jobs of narrow work
+# that pure scheduling overhead dominates until the corpus is large.
+# 100k x 64-dim float64 is ~51 MB through Arrow.
+DRIVER_LOCAL_MAX_VECTORS = 100_000
+
+
+def _embed_pairs_driver_local(
+    spark,
+    base: DataFrame,
+    threshold: float,
+    n_planes: int | None,
+    n_tables: int,
+    bucket_cap: int,
+    n_extra: int,
+):
+    """Driver-local replica of the embed_dedup_pairs pipeline — SAME
+    group collapse, SAME hyperplanes (identical numpy ops as the
+    bucketize UDF), SAME occupancy-cap refinement arithmetic, and
+    cosines computed as the identical left-fold double arithmetic of
+    cosine_expr (zip product then sequential add; IEEE-764 double ops
+    are bit-deterministic across JVM and CPython), so the emitted rows
+    equal the distributed form's exactly — pinned by
+    tests/test_training_ops.py::test_embed_pairs_driver_local_equals_distributed.
+    Returns None when ineligible (non-integer ids, NULLs, ragged
+    vectors) — those keep the distributed path.
+    """
+    import math
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    tbl = base.select("id", "vec").toArrow()
+    f_id, f_vec = tbl.schema.field("id"), tbl.schema.field("vec")
+    if not pat.is_integer(f_id.type) or not (
+        pat.is_list(f_vec.type) or pat.is_large_list(f_vec.type)
+    ):
+        return None
+    idc = tbl.column("id").combine_chunks()
+    vc = tbl.column("vec").combine_chunks()
+    if isinstance(vc, pa.ChunkedArray):  # zero-chunk tables
+        vc = pa.concat_arrays(vc.chunks or [pa.array([], type=f_vec.type)])
+    if idc.null_count or vc.null_count:
+        return None
+    import pandas as pd
+
+    id_type = dict(base.dtypes)["id"]
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    n = len(tbl)
+    if n == 0:
+        return spark.createDataFrame(empty, schema)
+    ids = idc.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    flat = vc.flatten()
+    if flat.null_count:
+        return None
+    lens = np.diff(np.asarray(vc.offsets))
+    if lens.min() != lens.max():
+        return None  # ragged — keep the distributed path's behavior
+    d = int(lens[0])
+    M = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
+
+    # 1. collapse byte-identical vectors; rep = min id (scan in id order)
+    rep_of_key: dict[bytes, int] = {}
+    rep_row: dict[int, int] = {}
+    members: dict[int, list[int]] = defaultdict(list)
+    for i in np.argsort(ids, kind="stable"):
+        key = M[i].tobytes()
+        rep = rep_of_key.setdefault(key, int(ids[i]))
+        if rep == int(ids[i]):
+            rep_row[rep] = int(i)
+        members[rep].append(int(ids[i]))
+    reps = sorted(rep_row)
+    if n_planes is None:
+        n_planes = derive_n_planes(len(reps))
+    R = M[[rep_row[r] for r in reps]]
+
+    # 2. bucketize (identical ops to with_lsh_buckets' UDF) + 3. cap
+    W = _hyperplanes(d, n_planes, n_tables)
+    WX = _hyperplanes(d, n_extra, n_tables, seed=43) if n_extra else None
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+    pwx = 1 << np.arange(n_extra, dtype=np.int64) if n_extra else None
+    pair_keys: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        bk = (((R @ W[t]) > 0) * pw).sum(axis=1).astype(np.int64)
+        if n_extra:
+            xb = (((R @ WX[t]) > 0) * pwx).sum(axis=1).astype(np.int64)
+            uniq, cnt = np.unique(bk, return_counts=True)
+            for bv, sz in zip(uniq, cnt):
+                if sz > bucket_cap:
+                    # same double-math as F.ceil(F.log2(sz/cap)),
+                    # clamped to n_extra like _apply_bucket_cap
+                    eb = min(
+                        int(math.ceil(math.log2(sz / float(bucket_cap)))),
+                        n_extra,
+                    )
+                    mask = (1 << eb) - 1
+                    sel = bk == bv
+                    bk = bk.copy()
+                    bk[sel] = bv + (xb[sel] & mask) * (1 << n_planes)
+        byb: dict[int, list[int]] = defaultdict(list)
+        for idx, bv in enumerate(bk.tolist()):
+            byb[bv].append(idx)
+        for lst in byb.values():
+            for ii in range(len(lst) - 1):
+                for jj in range(ii + 1, len(lst)):
+                    ra, rb = reps[lst[ii]], reps[lst[jj]]
+                    if ra > rb:
+                        ra, rb = rb, ra
+                    pair_keys.add((ra, rb))
+
+    # 4. exact cosine, replicated as cosine_expr's sequential fold
+    def _cos(a: np.ndarray, b: np.ndarray) -> float:
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def _passes(c: float) -> bool:
+        # Spark comparison semantics: NaN is greater than any value
+        return c >= threshold or c != c
+
+    rows: list[tuple[int, int, float]] = []
+    for ra, rb in sorted(pair_keys):
+        c = _cos(M[rep_row[ra]], M[rep_row[rb]])
+        if _passes(c):
+            for ia in members[ra]:
+                for ib in members[rb]:
+                    rows.append((min(ia, ib), max(ia, ib), c))
+    for rep in reps:
+        mem = members[rep]
+        if len(mem) > 1:
+            c = _cos(M[rep_row[rep]], M[rep_row[rep]])
+            if _passes(c):
+                mem_sorted = sorted(mem)
+                for ii in range(len(mem_sorted) - 1):
+                    for jj in range(ii + 1, len(mem_sorted)):
+                        rows.append((mem_sorted[ii], mem_sorted[jj], c))
+    if not rows:
+        return spark.createDataFrame(empty, schema)
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    return spark.createDataFrame(out).select(
+        F.col("id_a").cast(id_type),
+        F.col("id_b").cast(id_type),
+        F.col("cosine").cast("double"),
+    )
+
+
 def _vector_groups(base: DataFrame) -> DataFrame:
     """(id, vec) -> (id, rep): rep = min id among BYTE-IDENTICAL vectors.
 
@@ -238,6 +394,7 @@ def embed_dedup_pairs(
     n_tables: int = 12,
     bucket_cap: int = 4096,
     n_extra: int = 16,
+    driver_local_max_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS at scale: hyperplane-LSH bucket
     self-join replaces the quadratic all-pairs scan, exact cosine confirms
@@ -269,6 +426,20 @@ def embed_dedup_pairs(
     the geometry.
     """
     base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Driver-local fast path (r06): below the collect gate the whole
+    # pipeline is ~40 narrow AQE stage-jobs whose wall is scheduling
+    # overhead; the local replica emits identical rows (see
+    # _embed_pairs_driver_local). Above the gate — or for non-integer /
+    # NULL / ragged inputs — the distributed pipeline below is unchanged.
+    if driver_local_max_vectors is None:
+        driver_local_max_vectors = DRIVER_LOCAL_MAX_VECTORS
+    if base.count() <= driver_local_max_vectors:
+        local = _embed_pairs_driver_local(
+            vectors.sparkSession, base, threshold, n_planes, n_tables,
+            bucket_cap, n_extra,
+        )
+        if local is not None:
+            return local
     groups = _vector_groups(base).localCheckpoint()
     reps = base.join(
         groups.filter(F.col("id") == F.col("rep")).select("id"), "id", "left_semi"

@@ -1608,3 +1608,42 @@ def test_graph_ops_driver_local_equals_distributed(spark):
         round(pr_local[k], 6) == round(pr_dist[k], 6) for k in pr_local
     )
     assert abs(sum(pr_local.values()) - 1.0) < 1e-9
+
+
+def test_embed_pairs_driver_local_equals_distributed(spark):
+    """r06: the driver-local LSH pair derivation (numpy replica under
+    DRIVER_LOCAL_MAX_VECTORS) must emit EXACTLY the distributed
+    pipeline's rows — same group collapse, same hyperplane buckets, same
+    occupancy-cap refinement, bit-equal cosines (the local fold
+    replicates cosine_expr's sequential double arithmetic). Covers a
+    cap-refinement geometry (bucket_cap=4) and a low threshold with
+    ~1.6k float-compared pairs."""
+    import numpy as np
+
+    from croawl_spark.operators.ann import embed_dedup_pairs
+
+    rng = np.random.RandomState(7)
+    n, d = 240, 16
+    V = rng.standard_normal((n, d)).astype(np.float32)
+    V[50] = V[10]
+    V[51] = V[10]
+    V[120] = V[119]  # planted exact dups
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    for kw in (
+        dict(),
+        dict(bucket_cap=4, n_extra=4),
+        dict(n_tables=6, threshold=0.3),
+        dict(n_extra=0),
+    ):
+        loc = sorted(map(tuple, embed_dedup_pairs(df, dim=d, **kw).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                embed_dedup_pairs(
+                    df, dim=d, driver_local_max_vectors=-1, **kw
+                ).collect(),
+            )
+        )
+        assert loc == dist and len(loc) > 0, kw
