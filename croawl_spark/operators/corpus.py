@@ -14,6 +14,15 @@ from pyspark.sql import functions as F
 
 from croawl_spark.operators.ranking import global_sequence  # noqa: F401 (re-export family)
 
+# (id, n_tokens) frames at or below this many rows run the pack_sequences
+# cumsum driver-local (two int64 columns ≈ 32 MB through Arrow at the gate)
+# instead of paying the range-partition sample + offset-collect + window
+# chain of Spark jobs. Same collect-gate pattern as cluster.py §r06 /
+# ann.py §r06; above the gate (or for non-integer/NULL/duplicate ids) the
+# distributed two-phase cumsum below is unchanged — it remains the 100-TB
+# path.
+DRIVER_LOCAL_MAX_PACK_DOCS = 2_000_000
+
 
 def _distinct_shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_shingles: bool
@@ -119,6 +128,7 @@ def pack_sequences(
     id_col: str,
     text_col: str,
     budget: int,
+    driver_local_max_docs: int | None = None,
 ) -> DataFrame:
     """Token-budget sequence packing: assign documents (in id order) to
     training batches of ~``budget`` whitespace tokens.
@@ -138,10 +148,65 @@ def pack_sequences(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
     ).localCheckpoint()
+    # Driver-local fast path (r06 second pass): the tokenize pass above is
+    # the only corpus-scale work — the cumsum itself runs over two int64
+    # columns. Below the gate, collect them through Arrow and compute the
+    # inclusive cumsum locally (int64-exact, identical values by
+    # definition: cum[i] = sum of n_tokens over ids <= id[i]); the
+    # distributed two-phase form below stays the >gate path.
+    if driver_local_max_docs is None:
+        driver_local_max_docs = DRIVER_LOCAL_MAX_PACK_DOCS
+    if toks.count() <= driver_local_max_docs:
+        local = _driver_local_pack_cumsum(toks, id_col)
+        if local is not None:
+            cum = local
+            return cum.withColumn(
+                "batch_id",
+                F.floor(
+                    (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)
+                ).cast("long"),
+            )
     cum = global_cumsum(toks, [id_col], "n_tokens", "cum_tokens")
     return cum.withColumn(
         "batch_id",
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+    )
+
+
+def _driver_local_pack_cumsum(toks: DataFrame, id_col: str) -> DataFrame | None:
+    """(id, n_tokens) -> (id, n_tokens, cum_tokens) computed driver-local.
+
+    Exactness: sort by id (unique integer total order — the same order the
+    distributed range partition + window uses), inclusive int64 cumsum.
+    Returns None (caller keeps the distributed path) for non-integer id
+    types, NULLs, or duplicate ids (a duplicated id is not a total order,
+    so the distributed window's intra-key order would be ambiguous too —
+    never silently pick one here)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.types as pat
+
+    tbl = toks.toArrow()
+    if not all(pat.is_integer(f.type) for f in tbl.schema):
+        return None
+    if any(c.null_count for c in tbl.columns):
+        return None
+    ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    n_tok = tbl.column(1).to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    ids, n_tok = ids[order], n_tok[order]
+    if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+        return None
+    cum = np.cumsum(n_tok, dtype=np.int64)
+    spark = toks.sparkSession
+    out = pd.DataFrame({id_col: ids, "n_tokens": n_tok, "cum_tokens": cum})
+    id_field = toks.schema[id_col]
+    return spark.createDataFrame(
+        out,
+        schema=(
+            f"{id_col} {id_field.dataType.simpleString()}, "
+            "n_tokens long, cum_tokens long"
+        ),
     )
 
 

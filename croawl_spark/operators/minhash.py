@@ -27,6 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Signature tables at or below this many collected rows run LSH banding +
+# candidate pairing + est_sim driver-local (n_perm=16 longs + id ≈ 136 B/row
+# ≈ 3 MB through Arrow at the gate) instead of paying the band self-join /
+# dropDuplicates / two re-attach joins as ~10 AQE stage jobs. Same
+# collect-gate pattern as cluster.py / ann.py (r06): the corpus-scale pass
+# (shingle+minhash signature aggregate) stays distributed — only the
+# already-collapsed signature table crosses to the driver. Above the gate,
+# or for non-integer/NULL ids, the distributed band join is unchanged.
+# Gate MEASURED, not guessed: at 100k sigs with a heavy duplicate profile
+# (20 copies/doc -> 1.05M true pairs) the local pairing ran 2.5x SLOWER
+# than the distributed join (16.5 s vs 6.5 s warm, local[32]) — the win
+# is job-overhead elimination at small candidate sets, so the gate stays
+# where that regime ends (~20k sigs: local ~1 s vs ~4-6 s of stage jobs).
+DRIVER_LOCAL_MAX_SIGS = 20_000
+# Bound the materialized candidate set too: a pathological bucket structure
+# (everything in one band bucket) is quadratic in EITHER engine, but the
+# distributed join spills to disk where the driver cannot — fall back.
+_DRIVER_LOCAL_MAX_PAIRS = 2_000_000
+
 
 def shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     """Add ``shingles: array<string>`` of k-word shingles (distinct).
@@ -129,6 +148,81 @@ def lsh_candidate_pairs(
     )
 
 
+def _driver_local_lsh_pairs(
+    sig: DataFrame, id_col: str, n_perm: int, n_bands: int
+):
+    """Replicate lsh_candidate_pairs driver-locally over a collected
+    signature table: same band slices, same candidate semantics (pairs
+    sharing >= 1 band), same est_sim arithmetic (#equal components /
+    float(n_perm) — k/n_perm is float64-exact, so the downstream threshold
+    compare is bit-identical).
+
+    Bands group on the raw slice TUPLE where the distributed form groups
+    on ``xxhash64(slice..., band)``; equal tuples hash equal, so the
+    candidate sets coincide absent a 2^-64 xxhash64 collision — the exact
+    equality standard the shingle/dedup family already documents.
+
+    -> pandas DataFrame (id_a, id_b, est_sim) or None when ineligible
+    (non-integer ids, NULLs, or a candidate blow-up past the pair cap)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.types as pat
+
+    tbl = sig.toArrow()
+    id_f, sig_f = tbl.schema.field(0), tbl.schema.field(1)
+    if not pat.is_integer(id_f.type):
+        return None
+    if tbl.column(0).null_count or tbl.column(1).null_count:
+        return None
+    ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
+    if tbl.num_rows == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_sim": []})
+    sig_col = tbl.column(1).combine_chunks()
+    flat = sig_col.flatten()
+    if flat.null_count or len(flat) != tbl.num_rows * n_perm:
+        return None  # ragged or null-element signatures: not ours to handle
+    sigs = flat.to_numpy().astype(np.int64, copy=False).reshape(
+        tbl.num_rows, n_perm
+    )
+    rows = n_perm // n_bands
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+    n_pairs = 0
+    for b in range(n_bands):
+        band = np.ascontiguousarray(sigs[:, b * rows : (b + 1) * rows])
+        # group rows by identical band slice: lexsort + boundary detection
+        order = np.lexsort(band.T[::-1])
+        sb = band[order]
+        new_grp = np.empty(len(sb), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (sb[1:] != sb[:-1]).any(axis=1)
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], len(sb))
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            n_pairs += g * (g - 1) // 2
+            if n_pairs > _DRIVER_LOCAL_MAX_PAIRS:
+                return None
+            gi = order[s:e]
+            ii, jj = np.triu_indices(g, k=1)
+            cand_a.append(gi[ii])
+            cand_b.append(gi[jj])
+    if not cand_a:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_sim": []})
+    ia = np.concatenate(cand_a)
+    ib = np.concatenate(cand_b)
+    # orient by id value (the join predicate is id_a < id_b, not index
+    # order) and drop duplicates across bands
+    lo = np.where(ids[ia] < ids[ib], ia, ib)
+    hi = np.where(ids[ia] < ids[ib], ib, ia)
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    lo, hi = uniq[:, 0], uniq[:, 1]
+    est = (sigs[lo] == sigs[hi]).sum(axis=1) / float(n_perm)
+    return pd.DataFrame({"id_a": ids[lo], "id_b": ids[hi], "est_sim": est})
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -137,6 +231,7 @@ def minhash_dedup_pairs(
     n_perm: int = 16,
     n_bands: int = 4,
     k: int = 3,
+    driver_local_max_sigs: int | None = None,
 ) -> DataFrame:
     # eager (r06): the signature table feeds THREE consumers inside
     # lsh_candidate_pairs (band derivation + both re-attach sides) —
@@ -145,6 +240,22 @@ def minhash_dedup_pairs(
     # VALUES are untouched; the streaming ingest (jobs.py) already
     # checkpoints its signatures for the same reason.
     sig = minhash_signature(df, id_col, text_col, n_perm, k).localCheckpoint()
+    # Driver-local fast path (r06 second pass): the corpus-scale pass is
+    # the signature aggregate above; banding + pairing over the collapsed
+    # signature table fits the driver below the gate (see
+    # _driver_local_lsh_pairs for the exactness argument).
+    if driver_local_max_sigs is None:
+        driver_local_max_sigs = DRIVER_LOCAL_MAX_SIGS
+    if sig.count() <= driver_local_max_sigs:
+        local = _driver_local_lsh_pairs(sig, id_col, n_perm, n_bands)
+        if local is not None:
+            spark = df.sparkSession
+            id_t = sig.schema[id_col].dataType.simpleString()
+            out = spark.createDataFrame(
+                local[local["est_sim"] >= threshold],
+                schema=f"id_a {id_t}, id_b {id_t}, est_sim double",
+            )
+            return out
     return lsh_candidate_pairs(sig, id_col, n_perm, n_bands).filter(
         F.col("est_sim") >= threshold
     )

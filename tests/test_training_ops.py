@@ -1647,3 +1647,74 @@ def test_embed_pairs_driver_local_equals_distributed(spark):
             )
         )
         assert loc == dist and len(loc) > 0, kw
+
+
+def test_minhash_pairs_driver_local_equals_distributed(spark):
+    """r06 second pass: the driver-local LSH banding/pairing fast path
+    (under DRIVER_LOCAL_MAX_SIGS) must emit EXACTLY the distributed band
+    self-join's rows — same signatures (computed distributed either way),
+    same candidate set (band-slice tuple equality == band-hash equality),
+    same est_sim doubles (#equal/n_perm is float64-exact). Covers planted
+    exact duplicates, a non-default (n_perm, n_bands) geometry, and an
+    empty-pair corpus."""
+    from croawl_spark.operators.minhash import minhash_dedup_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 70000).alias("doc_id"), "text"
+    )
+    d = docs.unionByName(dup)
+
+    for kw in (
+        dict(threshold=0.5),
+        dict(threshold=0.7, n_perm=8, n_bands=2),
+        dict(threshold=1.01),  # no pair can pass: empty output both ways
+    ):
+        loc = sorted(
+            map(tuple, minhash_dedup_pairs(d, "doc_id", "text", **kw).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    d, "doc_id", "text", driver_local_max_sigs=-1, **kw
+                ).collect(),
+            )
+        )
+        assert loc == dist, kw
+        if kw["threshold"] <= 0.5:
+            planted = {(i, i + 70000) for i in range(6)}
+            assert planted <= {(a, b) for a, b, _ in loc}
+
+
+def test_pack_sequences_driver_local_equals_distributed(spark):
+    """r06 second pass: the driver-local cumsum fast path (under
+    DRIVER_LOCAL_MAX_PACK_DOCS) must reproduce the distributed two-phase
+    range-partition cumsum bit-exactly — same (n_tokens, cum_tokens,
+    batch_id) int64 values in id order — and must fall back to the
+    distributed path when ids are duplicated (not a total order)."""
+    from croawl_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = sorted(map(tuple, pack_sequences(docs, "doc_id", "text", 512).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs, "doc_id", "text", 512, driver_local_max_docs=-1
+            ).collect(),
+        )
+    )
+    assert loc == dist and len(loc) == docs.count()
+    # inclusive cumsum invariant + batch quantization spot-check
+    prev = 0
+    for _id, n, cum, batch in loc:
+        assert cum == prev + n and batch == (cum - n) // 512
+        prev = cum
+
+    # duplicate ids: local path must decline (fall back), output still rows
+    dup = docs.unionByName(docs.limit(3))
+    out = pack_sequences(dup, "doc_id", "text", 512)
+    assert out.count() == docs.count() + 3
