@@ -69,15 +69,31 @@ def shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, k: int = 3
 ) -> DataFrame:
-    """-> (id_col, sig: array<long>[n_perm]) MinHash signature per document.
+    """-> (id_col, sig: array<long>[n_perm]) MinHash signature per document
+    (``id_col`` is a document key — one row per id).
 
     This is also the persistable dedup index (write it with TableIO and
-    probe later batches against it)."""
-    ex = shingles(df, text_col, k).select(
-        id_col, F.explode("shingles").alias("shingle")
-    )
-    mins = [F.min(F.xxhash64("shingle", F.lit(p))) for p in range(n_perm)]
-    return ex.groupBy(id_col).agg(F.array(*mins).alias("sig"))
+    probe later batches against it).
+
+    Zero-exchange (r06 second pass, guide §2.4): each permutation minimum
+    is ``array_min`` over the doc's own shingle array — a per-row JVM
+    expression — instead of the historical explode + groupBy(min x16),
+    which paid a full (doc x shingle) shuffle to compute a value that
+    never needed cross-row data. Signature VALUES are byte-identical
+    (min over the same distinct-shingle multiset, same ``xxhash64(shingle,
+    p)`` hashes); the empty/NULL-shingle filter reproduces the explode
+    form's row semantics (such docs emitted no row)."""
+    sh = shingles(df, text_col, k)
+
+    def _perm_min(p: int) -> F.Column:
+        # NB: the lambda must stay single-argument — pyspark treats a
+        # two-argument transform lambda as (element, index)
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(p))))
+
+    mins = [_perm_min(p) for p in range(n_perm)]
+    return sh.filter(
+        F.col("shingles").isNotNull() & (F.size("shingles") > 0)
+    ).select(id_col, F.array(*mins).alias("sig"))
 
 
 def _band_structs(n_perm: int, n_bands: int) -> F.Column:
@@ -251,11 +267,20 @@ def minhash_dedup_pairs(
         if local is not None:
             spark = df.sparkSession
             id_t = sig.schema[id_col].dataType.simpleString()
-            out = spark.createDataFrame(
-                local[local["est_sim"] >= threshold],
-                schema=f"id_a {id_t}, id_b {id_t}, est_sim double",
+            flt = local[local["est_sim"] >= threshold]
+            if len(flt) == 0:
+                # pure-JVM empty relation: createDataFrame of an empty
+                # pandas frame falls back to the pickled-RDD path, whose
+                # first evaluation spins up Python workers (~1.4 s
+                # measured in bench context) to produce zero rows
+                return spark.range(0).select(
+                    F.col("id").cast(id_t).alias("id_a"),
+                    F.col("id").cast(id_t).alias("id_b"),
+                    F.col("id").cast("double").alias("est_sim"),
+                )
+            return spark.createDataFrame(
+                flt, schema=f"id_a {id_t}, id_b {id_t}, est_sim double"
             )
-            return out
     return lsh_candidate_pairs(sig, id_col, n_perm, n_bands).filter(
         F.col("est_sim") >= threshold
     )
