@@ -301,7 +301,11 @@ def bootstrap(
     )
     ded = first_wins(canon, "canon_url", ["seed_seq"])
     frontier = (
-        global_sequence(ded, ["seed_seq"], "disc_seq", start=0)
+        global_sequence(ded, ["seed_seq"], "disc_seq", start=0,
+                        eager_input=True)  # r06: the range-boundary sample
+        # pass otherwise re-runs the seed-gen mapInPandas + canon UDF +
+        # first_wins dedup chain a second time (same fix as the two
+        # run_cycle call sites; values unaffected)
         .select(
             "url",
             "canon_url",
