@@ -23,6 +23,15 @@ from croawl_spark.operators.ranking import global_sequence  # noqa: F401 (re-exp
 # path.
 DRIVER_LOCAL_MAX_PACK_DOCS = 2_000_000
 
+# resample_sources: ranked-source row sets at or below this size compute
+# the kept-id set driver-local (one Arrow collect of (id, source) + a
+# python md5 rank — ~1 µs/row) instead of the prefilter + salted two-phase
+# rank + verification chain of stage jobs; the kept set re-attaches with a
+# broadcast semi-join, so the docs frame itself never moves. The gate is
+# smaller than the other collect gates because the local cost is
+# hashlib-md5-bound, not numpy-bound.
+DRIVER_LOCAL_MAX_MIX_DOCS = 500_000
+
 
 def _distinct_shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_shingles: bool
@@ -537,12 +546,62 @@ def chunk_documents(
     )
 
 
+def _driver_local_rank_select(narrow: DataFrame, quotas: dict):
+    """Collect the ranked sources' (id, source) pairs and take, per
+    source, the ``quota`` rows with the smallest (md5(cast(id as
+    string)), id) — literally the rank that defines resample_sources'
+    output (the distributed prefilter + salted two-phase rank +
+    verification machinery computes the same set). hashlib.md5 over
+    str(id) equals Spark's ``md5(cast(id as string))`` for integer and
+    string ids (lowercase hex both sides; UTF-8 byte order == codepoint
+    order), and the (hex, id) tuple sort equals the window's
+    ORDER BY (_m, id).
+
+    -> pandas DataFrame (id, source) of kept pairs, or None when
+    ineligible (non-integer/string id type, NULLs, or duplicate ids —
+    a duplicated id makes the distributed tie-break ambiguous and would
+    over-select through the semi-join re-attach)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.types as pat
+
+    tbl = narrow.toArrow()
+    f0 = tbl.schema.field(0)
+    if not (
+        pat.is_integer(f0.type)
+        or pat.is_string(f0.type)
+        or pat.is_large_string(f0.type)
+    ):
+        return None
+    if tbl.column(0).null_count or tbl.column(1).null_count:
+        return None
+    ids = tbl.column(0).to_pylist()
+    srcs = tbl.column(1).to_pylist()
+    by_src: dict[str, list] = {}
+    for i, s in zip(ids, srcs):
+        by_src.setdefault(s, []).append(i)
+    kept_ids: list = []
+    kept_srcs: list = []
+    for s, q in quotas.items():
+        sub = by_src.get(s, [])
+        if len(sub) != len(set(sub)):
+            return None
+        ranked = sorted(
+            (hashlib.md5(str(i).encode("utf-8")).hexdigest(), i) for i in sub
+        )
+        kept_ids.extend(i for _, i in ranked[:q])
+        kept_srcs.extend([s] * min(q, len(sub)))
+    return pd.DataFrame({"id": kept_ids, "source": kept_srcs})
+
+
 def resample_sources(
     docs: DataFrame,
     id_col: str,
     source_col: str,
     weights: dict[str, float],
     n_salt: int = 16,
+    driver_local_max_docs: int | None = None,
 ) -> DataFrame:
     """Deterministic source-mixture rebalancing (the "domain mixing" step
     of a training-data pipeline: given target mixture weights per source,
@@ -654,6 +713,35 @@ def resample_sources(
         )
 
     if ranked_srcs:
+        # Driver-local fast path (r06 second pass): below the gate, compute
+        # the rank-defined kept set in one Arrow collect of (id, source)
+        # and re-attach with a broadcast semi-join — the docs frame never
+        # shuffles either way; this replaces the prefilter + two windows +
+        # verification count as sequential stage jobs. Above the gate, or
+        # for ineligible id types/NULLs/duplicates, the distributed
+        # machinery below is unchanged.
+        if driver_local_max_docs is None:
+            driver_local_max_docs = DRIVER_LOCAL_MAX_MIX_DOCS
+        n_ranked_rows = sum(counts[s] for s in ranked_srcs)
+        if n_ranked_rows <= driver_local_max_docs:
+            kept = _driver_local_rank_select(
+                docs.filter(F.col(source_col).isin(list(ranked_srcs))).select(
+                    F.col(id_col), F.col(source_col)
+                ),
+                ranked_srcs,
+            )
+            if kept is not None:
+                id_t = dict(docs.dtypes)[id_col]
+                src_t = dict(docs.dtypes)[source_col]
+                kept_df = spark.createDataFrame(
+                    kept, schema=f"{id_col} {id_t}, {source_col} {src_t}"
+                )
+                sel = docs.join(
+                    F.broadcast(kept_df), [id_col, source_col], "left_semi"
+                )
+                return (
+                    sel if out_all is None else out_all.unionByName(sel)
+                )
         sel = _select(ranked_srcs, open_filter=False).localCheckpoint()
         got = {
             r["_s"]: r["_n"]

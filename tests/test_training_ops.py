@@ -1718,3 +1718,56 @@ def test_pack_sequences_driver_local_equals_distributed(spark):
     dup = docs.unionByName(docs.limit(3))
     out = pack_sequences(dup, "doc_id", "text", 512)
     assert out.count() == docs.count() + 3
+
+
+def test_resample_sources_driver_local_equals_distributed(spark):
+    """r06 second pass: the driver-local rank selection (hashlib md5 over
+    collected (id, source) pairs under DRIVER_LOCAL_MAX_MIX_DOCS) must
+    emit EXACTLY the distributed prefilter + salted-rank machinery's kept
+    set — same quotas (identical IEEE math on identical counts), same
+    (md5, id) rank — for integer AND string ids, including a keep-all
+    source and a weighted-but-absent-source mix."""
+    from croawl_spark.operators.corpus import resample_sources
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for w in (
+        {"en": 0.5, "zh": 0.25, "es": 0.25},
+        {"en": 0.3, "zh": 0.7},
+        {"en": 1.0, "fr": 0.5},  # fr absent from the data: ignored
+    ):
+        loc = sorted(
+            map(
+                tuple,
+                resample_sources(d, "doc_id", "lang", w)
+                .select("doc_id", "lang")
+                .collect(),
+            )
+        )
+        dist = sorted(
+            map(
+                tuple,
+                resample_sources(
+                    d, "doc_id", "lang", w, driver_local_max_docs=-1
+                )
+                .select("doc_id", "lang")
+                .collect(),
+            )
+        )
+        assert loc == dist and len(loc) > 0, w
+
+    sd = d.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("sid"),
+        "lang",
+    )
+    loc = sorted(
+        map(tuple, resample_sources(sd, "sid", "lang", {"en": 0.4, "zh": 0.6}).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            resample_sources(
+                sd, "sid", "lang", {"en": 0.4, "zh": 0.6}, driver_local_max_docs=-1
+            ).collect(),
+        )
+    )
+    assert loc == dist and len(loc) > 0
