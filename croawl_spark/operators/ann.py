@@ -247,11 +247,16 @@ def _embed_pairs_driver_local(
     import pandas as pd
 
     id_type = dict(base.dtypes)["id"]
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    # pure-JVM empty relation (an empty pandas createDataFrame falls back
+    # to the pickled-RDD path, whose evaluation launches Python workers)
+    empty_pairs = spark.range(0).select(
+        F.col("id").cast(id_type).alias("id_a"),
+        F.col("id").cast(id_type).alias("id_b"),
+        F.col("id").cast("double").alias("cosine"),
+    )
     n = len(tbl)
     if n == 0:
-        return spark.createDataFrame(empty, schema)
+        return empty_pairs
     ids = idc.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     flat = vc.flatten()
     if flat.null_count:
@@ -345,7 +350,7 @@ def _embed_pairs_driver_local(
                     for jj in range(ii + 1, len(mem_sorted)):
                         rows.append((mem_sorted[ii], mem_sorted[jj], c))
     if not rows:
-        return spark.createDataFrame(empty, schema)
+        return empty_pairs
     out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
     return spark.createDataFrame(out).select(
         F.col("id_a").cast(id_type),

@@ -115,11 +115,22 @@ def global_cumsum(
     for pid in sorted(sums):
         offsets[pid] = acc
         acc += int(sums[pid])
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    # pandas + Arrow -> a JVM LocalTableScan instead of a pickled-RDD scan
+    # (same fix as ranking.global_sequence, r06)
+    import pandas as pd
+
+    if offsets:
+        off_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
+            ),
+            schema="_pid int, _off long",
         )
-    )
+    else:
+        off_df = spark.range(0).select(
+            F.col("id").cast("int").alias("_pid"), F.col("id").alias("_off")
+        )
+    off_df = F.broadcast(off_df)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -672,24 +683,29 @@ def resample_sources(
     out_all = docs.filter(F.col(source_col).isin(keep_all)) if keep_all else None
 
     def _select(src_quotas: dict, open_filter: bool) -> DataFrame:
+        import pandas as pd  # Arrow path -> JVM LocalTableScan (r06)
+
+        taus = [
+            1.0
+            if open_filter
+            else min(
+                1.0,
+                q / counts[s]
+                + 6.0 * (q / counts[s] / counts[s]) ** 0.5
+                + 16.0 / counts[s],
+            )
+            for s, q in src_quotas.items()
+        ]
         qdf = F.broadcast(
             spark.createDataFrame(
-                [
-                    (
-                        s,
-                        q,
-                        1.0
-                        if open_filter
-                        else min(
-                            1.0,
-                            q / counts[s]
-                            + 6.0 * (q / counts[s] / counts[s]) ** 0.5
-                            + 16.0 / counts[s],
-                        ),
-                    )
-                    for s, q in src_quotas.items()
-                ],
-                f"{source_col} string, _q long, _tau double",
+                pd.DataFrame(
+                    {
+                        source_col: list(src_quotas),
+                        "_q": list(src_quotas.values()),
+                        "_tau": taus,
+                    }
+                ),
+                schema=f"{source_col} string, _q long, _tau double",
             )
         )
         cand = (

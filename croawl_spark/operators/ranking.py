@@ -96,11 +96,25 @@ def global_sequence(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    # pandas + Arrow -> a JVM LocalTableScan; a plain python list would go
+    # through applySchemaToPythonRDD, adding a pickled-RDD scan (and its
+    # Python-worker tasks) to every sequence call (r06, seen in the crawl
+    # event log)
+    import pandas as pd
+
+    if offsets:
+        off_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"_pid": list(offsets), "_off": [offsets[p] for p in offsets]}
+            ),
+            schema="_pid int, _off long",
         )
-    )
+    else:  # empty input: a pure-JVM empty relation (empty pandas falls
+        # back to the pickled-RDD path)
+        off_df = spark.range(0).select(
+            F.col("id").cast("int").alias("_pid"), F.col("id").alias("_off")
+        )
+    off_df = F.broadcast(off_df)
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         parted.join(off_df, "_pid")

@@ -134,7 +134,9 @@ def build_filter(
         "url_hash",
     )
     if existing is None:
-        existing = delta.sparkSession.createDataFrame([], SEEN_FILTER)
+        from croawl_spark.tables import empty_frame
+
+        existing = empty_frame(delta.sparkSession, SEEN_FILTER)
     return (
         delta.groupBy("bucket")
         .cogroup(existing.groupBy("bucket"))
@@ -290,7 +292,9 @@ def build_cuckoo_filter(
             )
         )
     if existing is None:
-        existing = delta.sparkSession.createDataFrame([], SEEN_FILTER)
+        from croawl_spark.tables import empty_frame
+
+        existing = empty_frame(delta.sparkSession, SEEN_FILTER)
     return (
         delta.groupBy("bucket")
         .cogroup(existing.groupBy("bucket"))

@@ -64,7 +64,9 @@ def expire_recrawl(
             # no O(seen) rebuild, the existing blobs are updated in place
             geo_slots = int(counters.get("filter_m_slots", cfg.m_slots))
             filt = io.read_snapshot("seen_filter")
-            empty = spark.createDataFrame([], "url_hash long")
+            empty = spark.range(0).select(  # pure-JVM empty (r06)
+                F.col("id").alias("url_hash")
+            )
             filt_next = build_cuckoo_filter(
                 empty, geo_buckets, geo_slots,
                 existing=filt, deletes=expired.select("url_hash"),

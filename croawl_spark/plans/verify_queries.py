@@ -1453,9 +1453,17 @@ def q_bpe_merges(spark, sf):
     from croawl_spark.operators.corpus import bpe_train
 
     merges = bpe_train(_t(spark, sf, "documents"), "text", n_merges=30)
+    import pandas as pd  # Arrow path -> JVM LocalTableScan (r06)
+
     return spark.createDataFrame(
-        [(i, l, r) for i, (l, r) in enumerate(merges)],
-        "rank long, left string, right string",
+        pd.DataFrame(
+            {
+                "rank": range(len(merges)),
+                "left": [l for l, _ in merges],
+                "right": [r for _, r in merges],
+            }
+        ),
+        schema="rank long, left string, right string",
     )
 
 

@@ -430,13 +430,17 @@ def stream_corpus_ingest(
             )
             io.write_snapshot(filt_next, "content_filter", cycle)
             tables = ["corpus", "content_seen", "content_filter", "ingest_metrics"]
+        import pandas as pd  # Arrow path -> JVM LocalTableScan (r06)
+
         metrics = spark.createDataFrame(
-            [(
-                cycle, n_batch, n_maybe, n_novel, seen_scanned,
-                n_seen_read, n_seen_segments,
-                round(_time.perf_counter() - t0, 3),
-            )],
-            "cycle long, n_batch long, n_maybe long, n_novel long, "
+            pd.DataFrame([{
+                "cycle": cycle, "n_batch": n_batch, "n_maybe": n_maybe,
+                "n_novel": n_novel, "seen_scanned": seen_scanned,
+                "n_seen_rows_read": n_seen_read,
+                "n_seen_segments": n_seen_segments,
+                "wall_sec": round(_time.perf_counter() - t0, 3),
+            }]),
+            schema="cycle long, n_batch long, n_maybe long, n_novel long, "
             "seen_scanned boolean, n_seen_rows_read long, "
             "n_seen_segments long, wall_sec double",
         )
@@ -682,12 +686,15 @@ def stream_neardup_ingest(
                 sig_rows, "minhash_sig", cycle, partition_by=["bucket"]
             )
             tables = ["corpus", "minhash_sig", "ingest_metrics"]
+        import pandas as pd  # Arrow path -> JVM LocalTableScan (r06)
+
         metrics = spark.createDataFrame(
-            [(
-                cycle, n_batch, n_surv, n_novel, n_idx_read,
-                round(_time.perf_counter() - t0, 3),
-            )],
-            "cycle long, n_batch long, n_surv long, n_novel long, "
+            pd.DataFrame([{
+                "cycle": cycle, "n_batch": n_batch, "n_surv": n_surv,
+                "n_novel": n_novel, "n_idx_rows_read": n_idx_read,
+                "wall_sec": round(_time.perf_counter() - t0, 3),
+            }]),
+            schema="cycle long, n_batch long, n_surv long, n_novel long, "
             "n_idx_rows_read long, wall_sec double",
         )
         io.write_snapshot(metrics, "ingest_metrics", cycle)

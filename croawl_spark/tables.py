@@ -140,3 +140,17 @@ METRICS = StructType(
         StructField("lineage_ref", StringType()),
     ]
 )
+
+
+def empty_frame(spark, schema: StructType):
+    """Zero-row DataFrame with ``schema`` as a pure-JVM relation (r06).
+
+    ``spark.createDataFrame([], schema)`` builds a pickled-RDD-backed scan
+    whose evaluation launches Python workers across defaultParallelism
+    empty partitions; Range(0) + NULL casts stays entirely in the JVM.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
