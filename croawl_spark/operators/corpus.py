@@ -168,7 +168,7 @@ def pack_sequences(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
     ).localCheckpoint()
-    # Driver-local fast path (r06 second pass): the tokenize pass above is
+    # Driver-local fast path (r06 third pass): the tokenize pass above is
     # the only corpus-scale work — the cumsum itself runs over two int64
     # columns. Below the gate, collect them through Arrow and compute the
     # inclusive cumsum locally (int64-exact, identical values by
@@ -729,7 +729,7 @@ def resample_sources(
         )
 
     if ranked_srcs:
-        # Driver-local fast path (r06 second pass): below the gate, compute
+        # Driver-local fast path (r06 third pass): below the gate, compute
         # the rank-defined kept set in one Arrow collect of (id, source)
         # and re-attach with a broadcast semi-join — the docs frame never
         # shuffles either way; this replaces the prefilter + two windows +

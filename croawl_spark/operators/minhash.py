@@ -75,7 +75,7 @@ def minhash_signature(
     This is also the persistable dedup index (write it with TableIO and
     probe later batches against it).
 
-    Zero-exchange (r06 second pass, guide §2.4): each permutation minimum
+    Zero-exchange (r06 third pass, guide §2.4): each permutation minimum
     is ``array_min`` over the doc's own shingle array — a per-row JVM
     expression — instead of the historical explode + groupBy(min x16),
     which paid a full (doc x shingle) shuffle to compute a value that
@@ -256,7 +256,7 @@ def minhash_dedup_pairs(
     # VALUES are untouched; the streaming ingest (jobs.py) already
     # checkpoints its signatures for the same reason.
     sig = minhash_signature(df, id_col, text_col, n_perm, k).localCheckpoint()
-    # Driver-local fast path (r06 second pass): the corpus-scale pass is
+    # Driver-local fast path (r06 third pass): the corpus-scale pass is
     # the signature aggregate above; banding + pairing over the collapsed
     # signature table fits the driver below the gate (see
     # _driver_local_lsh_pairs for the exactness argument).

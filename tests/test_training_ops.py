@@ -1650,7 +1650,7 @@ def test_embed_pairs_driver_local_equals_distributed(spark):
 
 
 def test_minhash_pairs_driver_local_equals_distributed(spark):
-    """r06 second pass: the driver-local LSH banding/pairing fast path
+    """r06 third pass: the driver-local LSH banding/pairing fast path
     (under DRIVER_LOCAL_MAX_SIGS) must emit EXACTLY the distributed band
     self-join's rows — same signatures (computed distributed either way),
     same candidate set (band-slice tuple equality == band-hash equality),
@@ -1690,7 +1690,7 @@ def test_minhash_pairs_driver_local_equals_distributed(spark):
 
 
 def test_pack_sequences_driver_local_equals_distributed(spark):
-    """r06 second pass: the driver-local cumsum fast path (under
+    """r06 third pass: the driver-local cumsum fast path (under
     DRIVER_LOCAL_MAX_PACK_DOCS) must reproduce the distributed two-phase
     range-partition cumsum bit-exactly — same (n_tokens, cum_tokens,
     batch_id) int64 values in id order — and must fall back to the
@@ -1721,7 +1721,7 @@ def test_pack_sequences_driver_local_equals_distributed(spark):
 
 
 def test_resample_sources_driver_local_equals_distributed(spark):
-    """r06 second pass: the driver-local rank selection (hashlib md5 over
+    """r06 third pass: the driver-local rank selection (hashlib md5 over
     collected (id, source) pairs under DRIVER_LOCAL_MAX_MIX_DOCS) must
     emit EXACTLY the distributed prefilter + salted-rank machinery's kept
     set — same quotas (identical IEEE math on identical counts), same
