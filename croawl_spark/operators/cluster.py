@@ -177,9 +177,14 @@ def connected_components(
     # the convergent round itself — a checksum compare needs one extra
     # confirmation round, measured ~25% slower at sf0.1 — and (b) is
     # overflow-proof by construction (no arithmetic over labels; Spark's
-    # non-ANSI long SUM would wrap silently). The count is a trivial second
-    # job per round on just-checkpointed rows; the collected value is one
-    # scalar — never O(data) on the driver.
+    # non-ANSI long SUM would wrap silently). r06 third pass (closes the
+    # prior "Not yet optimized" item): the changed-label count is FUSED
+    # into the checkpoint materialization itself via ``observe`` — an
+    # integer CollectMetrics aggregate computed as the rows stream into
+    # the checkpoint — so the former per-round count job is gone; the
+    # collected value is still one scalar, never O(data) on the driver.
+    from pyspark.sql import Observation
+
     for it in range(max_iter):
         parts = [
             labels.withColumn("_o", F.lit(1)),
@@ -205,6 +210,7 @@ def connected_components(
         new_labels = parts[0]
         for p in parts[1:]:
             new_labels = new_labels.unionByName(p)
+        obs = Observation()
         new_labels = (
             new_labels.groupBy("id")
             .agg(
@@ -212,9 +218,15 @@ def connected_components(
                 F.max(F.when(F.col("_o") == 1, F.col("component"))).alias("_old"),
             )
             .coalesce(par)  # checkpoint par partitions, not shuffle-conf many
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") < F.col("_old"), 1).otherwise(0)
+                ).alias("n_changed"),
+            )
             .localCheckpoint()  # truncate lineage each round
         )
-        n_changed = new_labels.filter(F.col("component") < F.col("_old")).count()
+        n_changed = int(obs.get["n_changed"] or 0)
         labels = new_labels.select("id", "component")
         if n_changed == 0:  # labels are monotone non-increasing => fixpoint
             break
@@ -309,11 +321,23 @@ def connected_components_star(
     # round stores shuffle-conf-many near-empty partitions that the next
     # round's two star phases re-scan as separate tasks.
     sc = vertices.sparkSession.sparkContext
+    # r06 third pass: the per-round edge count (partition sizing + fixpoint
+    # candidate check) is fused into the checkpoint materialization via
+    # ``observe`` — one job per round instead of two; the exceptAll
+    # confirmation still runs only when the counts match.
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         par = max(1, min(sc.defaultParallelism, -(-n_b // 500_000)))
         sym = b.unionByName(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        b2 = _small_star(_large_star(sym)).coalesce(par).localCheckpoint()
-        n_b2 = b2.count()
+        obs = Observation()
+        b2 = (
+            _small_star(_large_star(sym))
+            .coalesce(par)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_b2 = int(obs.get["n"] or 0)
         if n_b2 == n_b and b2.exceptAll(b).count() == 0:
             b = b2
             break

@@ -152,6 +152,16 @@ def pagerank(
         # the r03 shape. (The in-plan broadcast-scalar crossJoin variant
         # was measured ~30% slower at sf0.1 and stays retired — see the
         # memory ledger's do-not-retry list.)
+        # r06 third pass: `flowed` is fused into the heavy job itself via
+        # ``observe`` (a CollectMetrics sum computed as the aggregate's
+        # rows stream into the checkpoint) — the former per-round scalar-
+        # agg job is gone, so the loop is ONE action per round. Float sum
+        # order across partitions is nondeterministic in the separate-job
+        # form too, so this changes nothing the 6dp oracle rounding (or
+        # the parity test) can see.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(out_deg, "src")
@@ -162,11 +172,12 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_mass"))
             .coalesce(par)
+            .observe(
+                obs, F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("flowed")
+            )
             .localCheckpoint()
         )
-        flowed = (
-            contribs.agg(F.coalesce(F.sum("in_mass"), F.lit(0.0))).collect()[0][0]
-        )
+        flowed = float(obs.get["flowed"])
         dangling = (1.0 - flowed) / n
         ranks = (
             v.join(contribs, "id", "left")

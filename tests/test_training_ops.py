@@ -1771,3 +1771,36 @@ def test_resample_sources_driver_local_equals_distributed(spark):
         )
     )
     assert loc == dist and len(loc) > 0
+
+
+def test_graph_loops_fused_convergence_scalar(spark):
+    """r06 third pass: the distributed loops' per-round scalars
+    (changed-label count, star edge count, pagerank flowed mass) are
+    fused into the checkpoint job via ``observe``. Regression guards:
+    the observation must fire (not hang) on forced-distributed runs,
+    including the empty-edge-set edge case, and labels must equal the
+    driver-local fixpoint."""
+    from croawl_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+    from croawl_spark.operators.pagerank import pagerank
+
+    verts = spark.range(60).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    for fn in (connected_components, connected_components_star):
+        loc = sorted(map(tuple, fn(verts, edges).collect()))
+        dist = sorted(
+            map(tuple, fn(verts, edges, driver_local_max_edges=0).collect())
+        )
+        assert loc == dist, fn.__name__
+        out = fn(verts, empty, driver_local_max_edges=-1).collect()
+        assert len(out) == 60 and all(r["id"] == r["component"] for r in out)
+    pr = {
+        r["id"]: r["rank"]
+        for r in pagerank(verts, empty, n_iter=3, driver_local_max_edges=-1).collect()
+    }
+    assert len(pr) == 60 and abs(sum(pr.values()) - 1.0) < 1e-9
